@@ -81,8 +81,13 @@ def list_byte_offsets(value_byte_offsets: np.ndarray,
 
 
 def decode_deltas(buf: np.ndarray | bytes, start: int = 0,
-                  length: int | None = None) -> np.ndarray:
+                  length: int | None = None,
+                  restarts: np.ndarray | None = None) -> np.ndarray:
     """Decode one delta+varbyte list from ``buf[start:start+length]``.
+
+    ``restarts``: optional sorted value indices (first must be 0) where the
+    delta chain resets (independently-coded posting blocks) — the running
+    sum restarts at each, so a multi-block term region decodes in one call.
 
     Vectorized: no Python loop per byte. Returns int64 values (running sums).
     """
@@ -103,7 +108,15 @@ def decode_deltas(buf: np.ndarray | bytes, start: int = 0,
     vals7 = (b[:n].astype(np.int64) & 0x7F) << shift
     starts = np.concatenate(([0], t[:-1] + 1))
     deltas = np.add.reduceat(vals7, starts)
-    return np.cumsum(deltas)
+    c = np.cumsum(deltas)
+    if restarts is not None and len(restarts) > 1:
+        r = np.asarray(restarts, dtype=np.int64)
+        r = r[r < c.size]
+        base = np.zeros(r.size, np.int64)
+        base[1:] = c[r[1:] - 1]          # cumulative total before each block
+        seg_len = np.diff(np.append(r, c.size))
+        c = c - np.repeat(base, seg_len)
+    return c
 
 
 # --- reference-API wrappers (golden-vector parity) -------------------------

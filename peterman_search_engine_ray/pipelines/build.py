@@ -1,0 +1,266 @@
+"""Index build pipeline: corpus → forward index → term-partitioned segments.
+
+Ray-Data-native redesign of the reference's single-threaded LSM build
+(``InvertedIndexManager.java`` addDocument → flush → mergeAllSegments):
+
+* The reference buffers 1000 docs and flushes doc-partitioned segments that
+  must later be pairwise-merged (``merge``/``fillTheMap``,
+  InvertedIndexManager.java:845-953).  Here ONE ``groupby(part)`` shuffle
+  over exploded postings produces fully-merged, term-partitioned segments in
+  a single pass — no merge phase exists because the shuffle *is* the merge.
+* Segments are keyed ``(term_partition, doc_range)``: a term's postings live
+  in exactly one term partition, split across bounded doc ranges (the skew
+  valve — a "the"-scale hot term becomes several bounded groups whose
+  doc_id ranges are disjoint and ordered, so query-time concat needs no
+  k-way merge).
+* Posting lists are delta+varbyte (byte-identical codec to the reference's
+  ``DeltaVarLenCompressor``), laid out in blocks of ``cfg.block_size``
+  entries; every block is independently decodable and carries a skip pointer
+  (last doc_id + byte end) and block-max metadata (max tf, min dl) for
+  block-max WAND/MaxScore pruning — the north rule's additions over the
+  reference's wholesale decode (SegmentInDiskManager.java:281-325).
+* Every segment write is atomic (temp + rename, generalizing the
+  reference's ``deleteAndRename`` protocol) and carries a lineage manifest;
+  a resumed build skips segments whose manifest validates.
+
+Nothing here calls ``ray.init()``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import asdict
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..config import IndexConfig
+from ..functions import codec
+from ..stages.tokenize import ExtractTokenize, make_explode
+from ..state import manifest as mf
+
+# Section names in each segment's .bin blob, in layout order.
+_SECTIONS = ("postings", "tf", "dl", "block_last", "block_end",
+             "block_max_tf", "block_min_dl", "pos", "pos_offsets")
+
+
+def _cfg_key(cfg: IndexConfig) -> dict:
+    d = asdict(cfg)
+    # only the fields that change on-disk layout / semantics
+    return {k: d[k] for k in ("num_term_partitions", "doc_range_bits",
+                              "block_size", "positional", "analyzer")}
+
+
+def encode_segment(index_dir: str, cfg: IndexConfig,
+                   group: pa.Table) -> pa.Table:
+    """Encode one (term_partition, doc_range) group into an immutable segment.
+
+    Runs as a Ray task inside ``groupby("part").map_groups``.  All encoding is
+    vectorized: one ``encode_deltas`` call covers every posting block of every
+    term in the segment; block/term metadata come from ``reduceat``.
+    """
+    part = int(group["part"][0].as_py())
+    tp = part % cfg.num_term_partitions
+    dr = part // cfg.num_term_partitions
+    seg = f"seg-{tp}-{dr}"
+    seg_bin = os.path.join(index_dir, "segments", f"{seg}.bin")
+    seg_dir = os.path.join(index_dir, "segments", f"{seg}.dir.parquet")
+    seg_meta = os.path.join(index_dir, "segments", f"{seg}.meta.json")
+
+    g = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    g = g.combine_chunks()
+    n = g.num_rows
+    terms = np.asarray(g["term"].to_pylist(), dtype=object)
+    doc_ids = g["doc_id"].to_numpy()
+    tf = g["tf"].to_numpy().astype(np.uint32)
+    dl = g["dl"].to_numpy().astype(np.uint32)
+
+    fingerprint = {
+        "n": n,
+        "sum_doc": int(doc_ids.sum()),
+        "sum_tf": int(tf.sum(dtype=np.int64)),
+        "cfg": _cfg_key(cfg),
+    }
+    stats_row = partial(_manifest_row, part=part, tp=tp, dr=dr, seg=seg)
+
+    if mf.manifest_valid(seg_meta, fingerprint):
+        m = mf.read_json(seg_meta)
+        return stats_row(n_terms=m["n_terms"], n_postings=n, resumed=True)
+
+    # --- term and block boundaries ------------------------------------
+    starts = np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1])))
+    counts = np.diff(np.append(starts, n))
+    n_terms = starts.size
+    term_start_of = np.repeat(starts, counts)
+    local = np.arange(n, dtype=np.int64) - term_start_of
+    block_starts = np.flatnonzero(local % cfg.block_size == 0)
+    block_ends = np.append(block_starts[1:], n)
+
+    # --- posting bytes: every block independently delta-coded ---------
+    post_buf, vbo = codec.encode_deltas(doc_ids, np.append(block_starts, n))
+    block_end_byte = vbo[block_ends]
+    term_post_start = vbo[starts]
+    term_post_end = vbo[np.append(starts[1:], n)]
+
+    # --- block metadata (skip pointers + block-max) --------------------
+    if n:
+        block_last = doc_ids[block_ends - 1]
+        block_max_tf = np.maximum.reduceat(tf, block_starts).astype(np.uint32)
+        block_min_dl = np.minimum.reduceat(dl, block_starts).astype(np.uint32)
+    else:
+        block_last = np.empty(0, np.int64)
+        block_max_tf = np.empty(0, np.uint32)
+        block_min_dl = np.empty(0, np.uint32)
+    blocks_per_term = (counts + cfg.block_size - 1) // cfg.block_size
+    term_block_start = np.concatenate(([0], np.cumsum(blocks_per_term)))
+
+    # --- positions ------------------------------------------------------
+    if cfg.positional and "positions" in g.column_names:
+        pos_col = g["positions"]
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
+        pos_values = pos_col.values.to_numpy()
+        pos_list_off = np.asarray(pos_col.offsets)
+        pos_buf, pos_vbo = codec.encode_deltas(pos_values, pos_list_off)
+        pos_offsets = codec.list_byte_offsets(pos_vbo, pos_list_off)
+    else:
+        pos_buf = np.empty(0, np.uint8)
+        pos_offsets = np.zeros(n + 1, np.int64)
+
+    # --- term-level aggregates -----------------------------------------
+    df = counts.astype(np.int64)
+    cf = np.add.reduceat(tf.astype(np.int64), starts) if n else np.empty(0, np.int64)
+    t_max_tf = np.maximum.reduceat(tf, starts).astype(np.int32) if n else np.empty(0, np.int32)
+    t_min_dl = np.minimum.reduceat(dl, starts).astype(np.int32) if n else np.empty(0, np.int32)
+
+    # --- blob assembly --------------------------------------------------
+    sections = {
+        "postings": post_buf,
+        "tf": tf,
+        "dl": dl,
+        "block_last": block_last.astype(np.int64),
+        "block_end": block_end_byte.astype(np.int64),
+        "block_max_tf": block_max_tf,
+        "block_min_dl": block_min_dl,
+        "pos": pos_buf,
+        "pos_offsets": pos_offsets.astype(np.int64),
+    }
+    offsets = {}
+    cursor = 0
+    parts = []
+    for name in _SECTIONS:
+        raw = sections[name].tobytes()
+        offsets[name] = [cursor, cursor + len(raw)]
+        cursor += len(raw)
+        parts.append(raw)
+    mf.atomic_write_bytes(seg_bin, b"".join(parts))
+
+    directory = pa.table({
+        "term": pa.array(terms[starts].tolist(), pa.string()),
+        "df": pa.array(df),
+        "cf": pa.array(cf),
+        "slot_start": pa.array(starts.astype(np.int64)),
+        "slot_end": pa.array(np.append(starts[1:], n).astype(np.int64)),
+        "post_start": pa.array(term_post_start.astype(np.int64)),
+        "post_end": pa.array(term_post_end.astype(np.int64)),
+        "block_start": pa.array(term_block_start[:-1].astype(np.int64)),
+        "block_end_idx": pa.array(term_block_start[1:].astype(np.int64)),
+        "max_tf": pa.array(t_max_tf, pa.int32()),
+        "min_dl": pa.array(t_min_dl, pa.int32()),
+    })
+    tmp = seg_dir + ".tmp"
+    pq.write_table(directory, tmp)
+    os.replace(tmp, seg_dir)
+
+    mf.write_manifest(seg_meta, fingerprint,
+                      [f"{seg}.bin", f"{seg}.dir.parquet"],
+                      extra={"n_terms": int(n_terms), "n_postings": int(n),
+                             "sections": offsets, "part": part,
+                             "tp": tp, "dr": dr})
+    return stats_row(n_terms=int(n_terms), n_postings=n, resumed=False)
+
+
+def _manifest_row(*, part, tp, dr, seg, n_terms, n_postings, resumed):
+    return pa.table({
+        "part": pa.array([part], pa.int64()),
+        "tp": pa.array([tp], pa.int64()),
+        "dr": pa.array([dr], pa.int64()),
+        "segment": pa.array([seg], pa.string()),
+        "n_terms": pa.array([n_terms], pa.int64()),
+        "n_postings": pa.array([n_postings], pa.int64()),
+        "resumed": pa.array([resumed], pa.bool_()),
+    })
+
+
+def build_index(corpus: "ray.data.Dataset", index_dir: str,
+                cfg: IndexConfig | None = None, *,
+                resume: bool = True) -> dict:
+    """Run the full build; returns the global manifest dict.
+
+    corpus: Dataset with (doc_id, html|text[, url, lang]).
+    Stages: extract+tokenize (actor pool) → forward-index parquet (checkpoint)
+    → doc-stats streaming aggregate → explode → groupby(part) shuffle →
+    vectorized per-segment encode (atomic write + lineage manifest).
+    """
+    cfg = cfg or IndexConfig()
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    fwd_dir = os.path.join(index_dir, "forward")
+    fwd_meta = os.path.join(index_dir, "forward.manifest.json")
+    manifest_path = os.path.join(index_dir, "manifest.json")
+
+    # ---- stage 1: extract + tokenize → forward index (checkpoint) ----
+    fwd_fp = {"cfg": _cfg_key(cfg)}
+    fwd_m = mf.read_json(fwd_meta)
+    if not (resume and fwd_m and fwd_m.get("fingerprint") == fwd_fp
+            and os.path.isdir(fwd_dir)):
+        tokenized = corpus.map_batches(
+            ExtractTokenize,
+            fn_constructor_kwargs={"analyzer": cfg.analyzer,
+                                   "positional": cfg.positional},
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
+            concurrency=(1, 16),
+        )
+        import shutil
+        shutil.rmtree(fwd_dir, ignore_errors=True)
+        tokenized.write_parquet(fwd_dir)
+        mf.atomic_write_json(fwd_meta, {"fingerprint": fwd_fp})
+
+    # ---- stage 2: corpus stats (streaming aggregate, no shuffle) -----
+    fwd_stats = ray.data.read_parquet(fwd_dir, columns=["doc_len"])
+    agg = fwd_stats.aggregate(Count(), Sum("doc_len", alias_name="total_len"))
+    n_docs = int(agg["count()"])
+    total_len = int(agg["total_len"] or 0)
+    avgdl = (total_len / n_docs) if n_docs else 0.0
+
+    # ---- stage 3: explode → shuffle → encode segments ----------------
+    cols = ["doc_id", "doc_len", "terms", "tfs"]
+    if cfg.positional:
+        cols.append("positions")
+    fwd = ray.data.read_parquet(fwd_dir, columns=cols)
+    exploded = fwd.map_batches(
+        make_explode(cfg.num_term_partitions, cfg.doc_range_bits,
+                     cfg.positional),
+        batch_format="pyarrow", batch_size=cfg.explode_batch_size)
+    seg_stats = (exploded
+                 .groupby("part")
+                 .map_groups(partial(encode_segment, index_dir, cfg),
+                             batch_format="pyarrow")
+                 .to_pandas())
+
+    manifest = {
+        "cfg": _cfg_key(cfg),
+        "bm25": {"k1": cfg.k1, "b": cfg.b},
+        "n_docs": n_docs,
+        "total_len": total_len,
+        "avgdl": avgdl,
+        "segments": seg_stats.drop(columns=["resumed"]).to_dict("records"),
+        "n_resumed_segments": int(seg_stats["resumed"].sum()),
+    }
+    mf.atomic_write_json(manifest_path, manifest)
+    return manifest

@@ -1,0 +1,476 @@
+"""Query engine: boolean / phrase / BM25 / reference-TF-IDF over segments.
+
+Reimplements the reference's query surface
+(``InvertedIndexManager.java:302-460,502-689``) against the term-partitioned
+segment layout:
+
+* :class:`IndexReader` — opens an index directory; memory-maps segment blobs
+  and holds per-segment term directories in memory (the Ray-native analogue
+  of the reference's ``rankingDictMap`` segment-dictionary cache, ST3).  One
+  reader per searcher actor; at cluster scale each actor is assigned a subset
+  of term partitions.
+* Boolean AND/OR (J1/J2: sorted posting intersect/union), true-phrase
+  positional search (J3 — NOTE: the reference anchors every term's offset to
+  *any* occurrence of the first keyword independently per term,
+  InvertedIndexManager.java:423-435; we implement strict consecutive-phrase
+  semantics, the documented deviation), BM25 top-k (exact and
+  MaxScore/block-max pruned), and the reference's quirky TF-IDF scorer
+  (A6: "cosine" whose vector length uses only query-term components,
+  idf = log10(N/df) unsmoothed).
+* Tie-break everywhere: descending score, then ascending doc_id.
+
+:class:`QueryExecutor` is the actor-pool entry (``map_batches`` over a query
+dataset): index open happens once per actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import IndexConfig
+from ..functions import codec
+from ..functions.analysis import get_analyzer
+from ..stages.tokenize import stable_term_hash
+from ..state import manifest as mf
+
+
+class SegmentReader:
+    """One immutable (term_partition, doc_range) segment: mmap'd blob +
+    term directory."""
+
+    def __init__(self, seg_base: str):
+        self.meta = mf.read_json(seg_base + ".meta.json")
+        if self.meta is None:
+            raise FileNotFoundError(seg_base + ".meta.json")
+        self._blob = np.memmap(seg_base + ".bin", dtype=np.uint8, mode="r")
+        dir_tbl = pq.read_table(seg_base + ".dir.parquet")
+        self._dir = dir_tbl.to_pandas().set_index("term")
+        self._sections = self.meta["sections"]
+
+    def _sec(self, name: str, dtype) -> np.ndarray:
+        lo, hi = self._sections[name]
+        return np.frombuffer(self._blob[lo:hi], dtype=dtype)
+
+    def lookup(self, term: str) -> pd.Series | None:
+        try:
+            return self._dir.loc[term]
+        except KeyError:
+            return None
+
+    @property
+    def terms(self) -> pd.DataFrame:
+        return self._dir
+
+    def postings(self, term: str, block_size: int
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """(doc_ids, tf, dl) for a term, decoding all blocks in one call."""
+        e = self.lookup(term)
+        if e is None:
+            return None
+        df = int(e["df"])
+        restarts = np.arange(0, df, block_size, dtype=np.int64)
+        doc_ids = codec.decode_deltas(
+            self._sec("postings", np.uint8),
+            int(e["post_start"]), int(e["post_end"] - e["post_start"]),
+            restarts=restarts)
+        s0, s1 = int(e["slot_start"]), int(e["slot_end"])
+        tf = self._sec("tf", np.uint32)[s0:s1]
+        dl = self._sec("dl", np.uint32)[s0:s1]
+        return doc_ids, tf, dl
+
+    def block_meta(self, term: str) -> dict | None:
+        """Skip pointers + block-max metadata for one term."""
+        e = self.lookup(term)
+        if e is None:
+            return None
+        b0, b1 = int(e["block_start"]), int(e["block_end_idx"])
+        return {
+            "last_docid": self._sec("block_last", np.int64)[b0:b1],
+            "end_byte": self._sec("block_end", np.int64)[b0:b1],
+            "max_tf": self._sec("block_max_tf", np.uint32)[b0:b1],
+            "min_dl": self._sec("block_min_dl", np.uint32)[b0:b1],
+            "post_start": int(e["post_start"]),
+            "slot_start": int(e["slot_start"]),
+            "df": int(e["df"]),
+        }
+
+    def positions(self, term: str, doc_ids: np.ndarray,
+                  block_size: int) -> list[np.ndarray]:
+        """Position lists for the given (already matched) doc_ids of term."""
+        e = self.lookup(term)
+        if e is None:
+            return []
+        all_docs, _, _ = self.postings(term, block_size)
+        slots = int(e["slot_start"]) + np.searchsorted(all_docs, doc_ids)
+        off = self._sec("pos_offsets", np.int64)
+        pos_sec_lo = 0
+        pos = self._sec("pos", np.uint8)
+        out = []
+        for s in slots:
+            lo, hi = int(off[s]), int(off[s + 1])
+            out.append(codec.decode_deltas(pos, pos_sec_lo + lo, hi - lo))
+        return out
+
+
+class IndexReader:
+    """Whole-index view: manifest + lazily opened segments, query operators."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = mf.read_json(os.path.join(index_dir, "manifest.json"))
+        if self.manifest is None:
+            raise FileNotFoundError(f"no manifest.json under {index_dir}")
+        c = self.manifest["cfg"]
+        self.cfg = IndexConfig(
+            num_term_partitions=c["num_term_partitions"],
+            doc_range_bits=c["doc_range_bits"],
+            block_size=c["block_size"],
+            positional=c["positional"],
+            analyzer=c["analyzer"],
+            k1=self.manifest["bm25"]["k1"], b=self.manifest["bm25"]["b"])
+        self.n_docs = self.manifest["n_docs"]
+        self.avgdl = self.manifest["avgdl"] or 1.0
+        self.analyzer = get_analyzer(self.cfg.analyzer)
+        # tp -> sorted [dr...] from the build manifest
+        self._by_tp: dict[int, list[int]] = {}
+        for s in self.manifest["segments"]:
+            self._by_tp.setdefault(int(s["tp"]), []).append(int(s["dr"]))
+        for v in self._by_tp.values():
+            v.sort()
+        self._segments: dict[tuple[int, int], SegmentReader] = {}
+        self._df_cache: dict[str, int] = {}
+
+    # -- plumbing ---------------------------------------------------------
+    def term_partition(self, term: str) -> int:
+        h = stable_term_hash(np.array([term], dtype=object))[0]
+        return int(h % np.uint64(self.cfg.num_term_partitions))
+
+    def _segment(self, tp: int, dr: int) -> SegmentReader:
+        key = (tp, dr)
+        sr = self._segments.get(key)
+        if sr is None:
+            base = os.path.join(self.index_dir, "segments", f"seg-{tp}-{dr}")
+            sr = SegmentReader(base)
+            self._segments[key] = sr
+        return sr
+
+    def term_segments(self, term: str) -> list[SegmentReader]:
+        tp = self.term_partition(term)
+        return [self._segment(tp, dr) for dr in self._by_tp.get(tp, [])]
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Global (doc_ids, tf, dl), doc-range segments concatenated in
+        doc_id order (disjoint ascending ranges — no merge needed)."""
+        parts = []
+        for sr in self.term_segments(term):
+            p = sr.postings(term, self.cfg.block_size)
+            if p is not None:
+                parts.append(p)
+        if not parts:
+            z = np.empty(0, np.int64)
+            return z, z.astype(np.uint32), z.astype(np.uint32)
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]))
+
+    def doc_freq(self, term: str) -> int:
+        """Global df = sum of per-segment df (A4 partial+final pattern)."""
+        df = self._df_cache.get(term)
+        if df is None:
+            df = 0
+            for sr in self.term_segments(term):
+                e = sr.lookup(term)
+                if e is not None:
+                    df += int(e["df"])
+            self._df_cache[term] = df
+        return df
+
+    def analyze_query(self, keywords: list[str] | str) -> list[str]:
+        if isinstance(keywords, str):
+            keywords = [keywords]
+        # reference behavior: analyze the joined keyword string
+        # (InvertedIndexManager.java:516)
+        return self.analyzer(" ".join(keywords))
+
+    # -- boolean ----------------------------------------------------------
+    def search_keyword(self, keyword: str) -> np.ndarray:
+        toks = self.analyze_query(keyword)
+        if not toks:
+            return np.empty(0, np.int64)
+        return self.postings(toks[0])[0]
+
+    def search_and(self, keywords: list[str]) -> np.ndarray:
+        """Boolean AND (J1). An empty/stopword-only keyword → empty result
+        (reference: any "" keyword → empty, InvertedIndexManager.java:318-329)."""
+        if not keywords:
+            return np.empty(0, np.int64)
+        lists = []
+        for kw in keywords:
+            toks = self.analyze_query(kw)
+            if not toks:
+                return np.empty(0, np.int64)
+            for t in toks:
+                lists.append(self.postings(t)[0])
+        return reduce(lambda a, b: np.intersect1d(a, b, assume_unique=True),
+                      sorted(lists, key=len))
+
+    def search_or(self, keywords: list[str]) -> np.ndarray:
+        lists = []
+        for kw in keywords:
+            for t in self.analyze_query(kw):
+                lists.append(self.postings(t)[0])
+        if not lists:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(lists))
+
+    # -- phrase (positional, J3) ------------------------------------------
+    def search_phrase(self, phrase: list[str]) -> np.ndarray:
+        if not self.cfg.positional:
+            raise NotImplementedError("phrase search requires a positional index")
+        toks = self.analyze_query(phrase)
+        if not toks:
+            return np.empty(0, np.int64)
+        cand = self.search_and(toks)
+        if cand.size == 0 or len(toks) == 1:
+            return cand
+        out = []
+        # positions are indices into the analyzer output stream (M8)
+        per_term_pos: list[list[np.ndarray]] = []
+        # cand is ascending and doc-range segments cover disjoint ascending
+        # ranges, so per-segment extension preserves cand order.
+        for j, t in enumerate(toks):
+            lists: list[np.ndarray] = []
+            for sr in self.term_segments(t):
+                all_p = sr.postings(t, self.cfg.block_size)
+                if all_p is None:
+                    continue
+                mask = np.isin(cand, all_p[0])
+                if mask.any():
+                    lists.extend(sr.positions(t, cand[mask], self.cfg.block_size))
+            per_term_pos.append(lists)
+        for i in range(cand.size):
+            anchors = per_term_pos[0][i]
+            for j in range(1, len(toks)):
+                anchors = np.intersect1d(anchors, per_term_pos[j][i] - j,
+                                         assume_unique=True)
+                if anchors.size == 0:
+                    break
+            if anchors.size:
+                out.append(cand[i])
+        return np.asarray(out, dtype=np.int64)
+
+    # -- BM25 --------------------------------------------------------------
+    def _bm25_idf(self, df: int) -> float:
+        n = self.n_docs
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def _bm25_contrib(self, idf: float, tf: np.ndarray, dl: np.ndarray
+                      ) -> np.ndarray:
+        k1, b = self.cfg.k1, self.cfg.b
+        tf = tf.astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl.astype(np.float64) / self.avgdl)
+        return idf * tf * (k1 + 1.0) / (tf + norm)
+
+    def _query_weights(self, keywords) -> list[tuple[str, float, int]]:
+        """[(term, qtf*idf-ish weight, df)] — BM25 uses qtf multiplicity."""
+        toks = self.analyze_query(keywords)
+        out = []
+        for t in sorted(set(toks)):
+            df = self.doc_freq(t)
+            if df:
+                out.append((t, float(toks.count(t)), df))
+        return out
+
+    @staticmethod
+    def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int | None
+              ) -> tuple[np.ndarray, np.ndarray]:
+        order = np.lexsort((doc_ids, -scores))
+        if k is not None:
+            order = order[:k]
+        return doc_ids[order], scores[order]
+
+    def bm25_topk(self, keywords, k: int | None = 10
+                  ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact term-at-a-time BM25 (the un-pruned baseline scorer)."""
+        terms = self._query_weights(keywords)
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        all_docs, all_scores = [], []
+        for t, qtf, df in terms:
+            doc_ids, tf, dl = self.postings(t)
+            all_docs.append(doc_ids)
+            all_scores.append(qtf * self._bm25_contrib(self._bm25_idf(df), tf, dl))
+        docs = np.concatenate(all_docs)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        scores = np.bincount(inv, weights=np.concatenate(all_scores),
+                             minlength=uniq.size)
+        return self._topk(uniq, scores, k)
+
+    def bm25_topk_pruned(self, keywords, k: int = 10
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        """MaxScore-family pruned BM25 using term and block-max bounds.
+
+        Terms processed in descending upper-bound order; a term list is
+        skipped entirely once the remaining suffix bound cannot beat the
+        current k-th score, and candidate docs are dropped early when their
+        block-max bound + suffix bound can't beat it (Ding & Suel-style
+        block-max pruning adapted to vectorized candidate batches).
+        Rank-identical to :meth:`bm25_topk` (tested)."""
+        terms = self._query_weights(keywords)
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        # load postings + bounds once
+        plists = []
+        for t, qtf, df in terms:
+            doc_ids, tf, dl = self.postings(t)
+            idf = self._bm25_idf(df)
+            contrib = qtf * self._bm25_contrib(idf, tf, dl)
+            ub_blocks = []
+            for sr in self.term_segments(t):
+                bm = sr.block_meta(t)
+                if bm is not None:
+                    ub_blocks.append((bm["last_docid"],
+                                      qtf * self._bm25_contrib(
+                                          idf, bm["max_tf"], bm["min_dl"])))
+            ub = float(max((b[1].max() for b in ub_blocks if b[1].size),
+                           default=0.0))
+            plists.append({"docs": doc_ids, "contrib": contrib, "ub": ub,
+                           "blocks": ub_blocks})
+        plists.sort(key=lambda p: -p["ub"])
+        suffix = np.concatenate((np.cumsum([p["ub"] for p in plists][::-1])[::-1],
+                                 [0.0]))
+        top_docs = np.empty(0, np.int64)
+        top_scores = np.empty(0, np.float64)
+        theta = -np.inf
+        evaluated = np.empty(0, np.int64)
+        for j, p in enumerate(plists):
+            if suffix[j] <= theta:
+                break
+            cand = p["docs"]
+            if evaluated.size:
+                cand = cand[~np.isin(cand, evaluated, assume_unique=True)]
+            if cand.size == 0:
+                continue
+            # block-max refinement: candidate → its block via one searchsorted
+            # (block last_docids are globally ascending: blocks ascend within a
+            # segment and doc-range segments cover disjoint ascending ranges)
+            if np.isfinite(theta) and p["blocks"]:
+                all_last = np.concatenate([b[0] for b in p["blocks"]])
+                all_bub = np.concatenate([b[1] for b in p["blocks"]])
+                idx = np.searchsorted(all_last, cand, side="left")
+                bounds = all_bub[np.minimum(idx, all_bub.size - 1)]
+                cand = cand[bounds + suffix[j + 1] > theta]
+                if cand.size == 0:
+                    continue
+            # exact scores for candidates: gather from every term list
+            scores = np.zeros(cand.size, np.float64)
+            for q in plists:
+                idx = np.searchsorted(q["docs"], cand)
+                m = (idx < q["docs"].size)
+                m[m] &= q["docs"][idx[m]] == cand[m]
+                scores[m] += q["contrib"][idx[m]]
+            top_docs = np.concatenate((top_docs, cand))
+            top_scores = np.concatenate((top_scores, scores))
+            if top_docs.size > k:
+                d, s = self._topk(top_docs, top_scores, k)
+                top_docs, top_scores = d, s
+            if top_docs.size >= k:
+                theta = top_scores[-1]
+            evaluated = np.union1d(evaluated, cand)
+        return self._topk(top_docs, top_scores, k)
+
+    # -- reference-semantics TF-IDF (A4/A6 quirks) -------------------------
+    def tfidf_topk(self, keywords, k: int | None = None
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        """score = dot(query_tfidf, doc_tfidf) / sqrt(Σ_query_terms doc_tfidf²)
+        with idf = log10(N/df) unsmoothed — the reference's exact scoring
+        (InvertedIndexManager.java:543-668), incl. its query-terms-only
+        "cosine" length."""
+        toks = self.analyze_query(keywords)
+        if not toks:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        qtf: dict[str, float] = {}
+        for t in toks:
+            qtf[t] = qtf.get(t, 0.0) + 1.0
+        docs_all, dot_all, len_all = [], [], []
+        for t, q in qtf.items():
+            df = self.doc_freq(t)
+            if df == 0:
+                continue
+            idf = math.log10(self.n_docs / df)
+            doc_ids, tf, _ = self.postings(t)
+            tfidf = tf.astype(np.float64) * idf
+            docs_all.append(doc_ids)
+            dot_all.append(tfidf * (q * idf))
+            len_all.append(tfidf * tfidf)
+        if not docs_all:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs = np.concatenate(docs_all)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        dot = np.bincount(inv, weights=np.concatenate(dot_all), minlength=uniq.size)
+        veclen = np.bincount(inv, weights=np.concatenate(len_all), minlength=uniq.size)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = np.where(veclen > 0, dot / np.sqrt(veclen), 0.0)
+        return self._topk(uniq, scores, k)
+
+    # -- doc store lookup (J4) ---------------------------------------------
+    def get_docs(self, doc_ids: np.ndarray) -> pd.DataFrame:
+        """Fetch forward-index rows for result doc_ids (hash join of the
+        small result side against the forward parquet)."""
+        import pyarrow.dataset as pads
+        dset = pads.dataset(os.path.join(self.index_dir, "forward"))
+        tbl = dset.to_table(columns=["doc_id", "url", "doc_len"],
+                            filter=pads.field("doc_id").isin(doc_ids.tolist()))
+        return tbl.to_pandas()
+
+
+class QueryExecutor:
+    """Actor-pool query stage: one IndexReader per actor, built in __init__.
+
+    Input batch: (query_id:int64, query:string, k:int32, mode:string in
+    {keyword,and,or,phrase,bm25,bm25_pruned,tfidf}); multi-word queries are
+    whitespace-joined strings. Output: (query_id, doc_ids:list<int64>,
+    scores:list<double>).
+    """
+
+    def __init__(self, index_dir: str):
+        self.reader = IndexReader(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        r = self.reader
+        qids = batch["query_id"].to_pylist()
+        queries = batch["query"].to_pylist()
+        ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * len(qids)
+        modes = (batch["mode"].to_pylist() if "mode" in batch.column_names
+                 else ["bm25_pruned"] * len(qids))
+        out_docs, out_scores = [], []
+        for q, k, mode in zip(queries, ks, modes):
+            words = q.split()
+            if mode == "keyword":
+                d, s = r.search_keyword(q), None
+            elif mode == "and":
+                d, s = r.search_and(words), None
+            elif mode == "or":
+                d, s = r.search_or(words), None
+            elif mode == "phrase":
+                d, s = r.search_phrase(words), None
+            elif mode == "bm25":
+                d, s = r.bm25_topk(words, k)
+            elif mode == "tfidf":
+                d, s = r.tfidf_topk(words, k)
+            else:
+                d, s = r.bm25_topk_pruned(words, k)
+            out_docs.append(d.tolist())
+            out_scores.append(s.tolist() if s is not None else [])
+        return pa.table({
+            "query_id": pa.array(qids, pa.int64()),
+            "doc_ids": pa.array(out_docs, pa.list_(pa.int64())),
+            "scores": pa.array(out_scores, pa.list_(pa.float64())),
+        })

@@ -1,0 +1,154 @@
+"""Extraction + tokenization stage → forward index, and the posting explode.
+
+Ray-Data mapping of the reference's ``addDocument`` loop
+(``InvertedIndexManager.java:169-203``): instead of a per-document in-memory
+Guava table, an actor-pool ``map_batches`` stage emits one forward-index row
+per document:
+
+    (doc_id:int64, url:string, doc_len:int32,
+     terms:list<string>, tfs:list<int32>, positions:list<list<int32>>)
+
+``terms`` are sorted within each doc; ``positions`` are indices into the
+*analyzer output* token stream (stopwords removed before position
+assignment — reference semantics, see SURVEY.md M8).  ``doc_len`` is the
+total token count (the BM25 ``dl``).
+
+The forward index is the engine's document store (replacing the reference's
+per-segment MapDB files, ``storage/MapdbDocStore.java``) *and* the
+checkpointed intermediate the wide shuffle reads from.
+
+:class:`ExtractTokenize` is a callable class → Ray actor pool: the analyzer
+(with its stem memo cache) is built once per actor in ``__init__``, reused
+per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.analysis import get_analyzer
+from ..functions.extract import extract_text
+
+
+class ExtractTokenize:
+    """html→text→tokens in one fused pass (project early: html is dropped
+    immediately; the fat binary column never crosses another stage boundary).
+    """
+
+    def __init__(self, analyzer: str = "porter", positional: bool = True,
+                 from_html: bool = True):
+        self.analyzer = get_analyzer(analyzer)
+        self.positional = positional
+        self.from_html = from_html
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        doc_ids = batch["doc_id"].to_numpy()
+        urls = (batch["url"].to_pylist() if "url" in batch.column_names
+                else [""] * n)
+        if self.from_html and "html" in batch.column_names:
+            texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        else:
+            texts = batch["text"].to_pylist()
+
+        analyze = self.analyzer
+        positional = self.positional
+
+        out_terms: list[list[str]] = []
+        out_tfs: list[np.ndarray] = []
+        out_positions: list[list[np.ndarray]] = []
+        doc_lens = np.zeros(n, dtype=np.int32)
+
+        for i, text in enumerate(texts):
+            toks = analyze(text or "")
+            doc_lens[i] = len(toks)
+            if positional:
+                pos_map: dict[str, list[int]] = {}
+                for p, t in enumerate(toks):
+                    lst = pos_map.get(t)
+                    if lst is None:
+                        pos_map[t] = [p]
+                    else:
+                        lst.append(p)
+                terms = sorted(pos_map)
+                out_terms.append(terms)
+                out_tfs.append(np.fromiter((len(pos_map[t]) for t in terms),
+                                           dtype=np.int32, count=len(terms)))
+                out_positions.append([np.asarray(pos_map[t], dtype=np.int32)
+                                      for t in terms])
+            else:
+                cnt: dict[str, int] = {}
+                for t in toks:
+                    cnt[t] = cnt.get(t, 0) + 1
+                terms = sorted(cnt)
+                out_terms.append(terms)
+                out_tfs.append(np.fromiter((cnt[t] for t in terms),
+                                           dtype=np.int32, count=len(terms)))
+
+        cols = {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "doc_len": pa.array(doc_lens, pa.int32()),
+            "terms": pa.array(out_terms, pa.list_(pa.string())),
+            "tfs": pa.array(out_tfs, pa.list_(pa.int32())),
+        }
+        if positional:
+            cols["positions"] = pa.array(out_positions,
+                                         pa.list_(pa.list_(pa.int32())))
+        return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# Posting explode: forward index rows → one row per (term, doc) posting,
+# with the partition key for the wide shuffle.
+# ---------------------------------------------------------------------------
+
+def stable_term_hash(terms: np.ndarray) -> np.ndarray:
+    """Deterministic cross-process 64-bit hash of term strings (vectorized
+    siphash via pandas with its fixed default key)."""
+    return pd.util.hash_array(np.asarray(terms, dtype=object),
+                              categorize=True)
+
+
+def make_explode(num_term_partitions: int, doc_range_bits: int,
+                 positional: bool):
+    """Returns a map_batches fn: forward rows → exploded posting rows
+    (part:int64, term, doc_id, tf, dl, positions).
+
+    ``part = term_partition + P * doc_range`` — ONE partitioning key reused
+    for the whole build; doc-range splitting is the skew valve (a hot term's
+    postings land in several bounded groups whose doc_id ranges are disjoint
+    and ordered, so segments concat at query time without merging).
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = batch.combine_chunks()
+        terms_list = t.column("terms")
+        if isinstance(terms_list, pa.ChunkedArray):
+            terms_list = terms_list.combine_chunks()
+        parent = pc.list_parent_indices(terms_list)
+        flat_terms = pc.list_flatten(terms_list)
+        doc_id = pc.take(t.column("doc_id"), parent)
+        dl = pc.take(t.column("doc_len"), parent)
+        tf = pc.list_flatten(t.column("tfs"))
+
+        th = stable_term_hash(flat_terms.to_numpy(zero_copy_only=False))
+        tp = (th % np.uint64(num_term_partitions)).astype(np.int64)
+        dr = doc_id.to_numpy() >> doc_range_bits
+        part = tp + num_term_partitions * dr
+
+        cols = {
+            "part": pa.array(part, pa.int64()),
+            "term": flat_terms,
+            "doc_id": doc_id,
+            "tf": tf,
+            "dl": dl,
+        }
+        if positional:
+            cols["positions"] = pc.list_flatten(t.column("positions"))
+        return pa.table(cols)
+
+    return explode

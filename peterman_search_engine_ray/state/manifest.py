@@ -1,0 +1,86 @@
+"""Per-partition lineage manifests + atomic file writes (checkpoint/resume).
+
+Generalizes the reference's crash-coarse durability protocol — immutable
+segment files written whole, then atomically renamed
+(``InvertedIndexManager.java:1062-1131`` ``deleteAndRename``) — into
+explicit lineage: every artifact directory carries a JSON manifest recording
+its input fingerprint, row counts and output files.  A resumed build skips
+any partition whose manifest validates against the same inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+MANIFEST_NAME = "manifest.json"
+
+
+def atomic_write_bytes(path: str, data: bytes | bytearray | memoryview) -> None:
+    """Write-to-temp + fsync + rename, so readers never see partial files."""
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def atomic_write_json(path: str, obj: Any) -> None:
+    atomic_write_bytes(path, json.dumps(obj, indent=1, sort_keys=True).encode())
+
+
+def read_json(path: str) -> Any | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def manifest_valid(manifest_path: str, expected_fingerprint: dict) -> bool:
+    """True iff the manifest exists, matches the fingerprint, and every
+    output file it lists exists with the recorded size."""
+    m = read_json(manifest_path)
+    if not m:
+        return False
+    if m.get("fingerprint") != expected_fingerprint:
+        return False
+    base = os.path.dirname(manifest_path)
+    for fname, size in m.get("outputs", {}).items():
+        p = os.path.join(base, fname)
+        if not os.path.exists(p) or os.path.getsize(p) != size:
+            return False
+    return True
+
+
+def write_manifest(manifest_path: str, fingerprint: dict,
+                   outputs: list[str], extra: dict | None = None) -> dict:
+    base = os.path.dirname(manifest_path)
+    m = {
+        "fingerprint": fingerprint,
+        "outputs": {os.path.basename(p): os.path.getsize(os.path.join(base, p))
+                    for p in outputs},
+    }
+    if extra:
+        m.update(extra)
+    atomic_write_json(manifest_path, m)
+    return m
+
+
+def input_fingerprint(paths: list[str]) -> dict:
+    """Cheap input identity: per-file (size, mtime_ns) — enough to invalidate
+    a checkpoint when inputs change, without hashing terabytes."""
+    out = {}
+    for p in sorted(paths):
+        st = os.stat(p)
+        out[p] = [st.st_size, st.st_mtime_ns]
+    return out

@@ -1,0 +1,63 @@
+"""Byte-exact codec vectors from the reference test suite
+(Team1CompressorTest.java:28-100) + vectorized multi-list / segmented decode."""
+
+import numpy as np
+import pytest
+from hypothesis import given, strategies as st
+
+from peterman_search_engine_ray.functions import codec
+
+
+def test_golden_bytes():
+    assert codec.encode([3, 3, 7, 23, 23, 65, 294, 2190, 238923]).hex() == \
+        "03000410002a81658e688eb93d"
+    assert codec.encode([0]) == b"\x00"
+    assert codec.encode([2**31 - 1]).hex() == "87ffffff7f"
+    assert codec.encode([1, 1, 1]) == b"\x01\x00\x00"
+    assert codec.encode([1, 2, 3]) == b"\x01\x01\x01"
+
+
+def test_single_byte_range():
+    for i in range(128):
+        assert codec.encode([i]) == bytes([i])
+        assert codec.decode(bytes([i])) == [i]
+
+
+def test_roundtrip_random():
+    vals = np.sort(np.random.RandomState(0).randint(0, 2**31 - 1, 5000))
+    assert codec.decode(codec.encode(vals.tolist())) == vals.tolist()
+
+
+def test_subrange_decode():
+    b = codec.encode([3, 3, 7, 23])
+    assert codec.decode(b, 0, 2) == [3, 3]
+    assert codec.decode(b, 0, 3) == [3, 3, 7]
+
+
+def test_unsorted_raises():
+    with pytest.raises(ValueError):
+        codec.encode([5, 3])
+
+
+def test_multi_list_encode():
+    offs = np.array([0, 3, 3, 5])
+    vals = np.array([1, 5, 5, 0, 7])
+    buf, vbo = codec.encode_deltas(vals, offs)
+    lbo = codec.list_byte_offsets(vbo, offs)
+    assert codec.decode_deltas(buf, int(lbo[0]), int(lbo[1] - lbo[0])).tolist() == [1, 5, 5]
+    assert lbo[1] == lbo[2]  # empty list occupies no bytes
+    assert codec.decode_deltas(buf, int(lbo[2]), int(lbo[3] - lbo[2])).tolist() == [0, 7]
+
+
+def test_segmented_decode_restarts():
+    # two independently-coded blocks of one term, decoded in one call
+    docs = np.array([10, 20, 30, 5, 6, 100])  # blocks [10,20,30] and [5,6,100]
+    buf, _ = codec.encode_deltas(docs, np.array([0, 3, 6]))
+    out = codec.decode_deltas(buf, restarts=np.array([0, 3]))
+    assert out.tolist() == [10, 20, 30, 5, 6, 100]
+
+
+@given(st.lists(st.integers(0, 2**31 - 1), min_size=0, max_size=200))
+def test_roundtrip_property(xs):
+    xs = sorted(xs)
+    assert codec.decode(codec.encode(xs)) == xs

@@ -1,0 +1,143 @@
+"""End-to-end index build + query vs the brute-force oracle (FullScanSearcher
+pattern): rank-identity for BM25/TF-IDF, set equality for boolean/phrase,
+resume-from-checkpoint, introspection (flush-semantics analog)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from peterman_search_engine_ray.config import IndexConfig
+from peterman_search_engine_ray.corpus import synth_rows, synth_webpages
+from peterman_search_engine_ray.pipelines.oracle import FullScanOracle
+
+N_DOCS = 60
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    idx = str(tmp_path_factory.mktemp("idx"))
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=4,  # 16-doc ranges
+                      block_size=8, positional=True)
+    corpus = synth_webpages(N_DOCS)
+    manifest = build_index(corpus, idx, cfg)
+    oracle = FullScanOracle(synth_rows(N_DOCS).to_pandas())
+    return IndexReader(idx), oracle, manifest, idx, cfg
+
+
+def test_manifest_stats(built):
+    reader, oracle, manifest, _, cfg = built
+    assert manifest["n_docs"] == N_DOCS
+    assert manifest["total_len"] == int(oracle.doc_len.sum())
+    assert abs(manifest["avgdl"] - oracle.avgdl) < 1e-9
+    # doc ranges of 16 docs → 4 ranges; several term partitions per range
+    assert len(manifest["segments"]) > 4
+
+
+def test_doc_freq_matches_oracle(built):
+    reader, oracle, *_ = built
+    for term in ["peterman", "appl", "grape", "honeydew", "unique0", "nosuch"]:
+        assert reader.doc_freq(term) == oracle.doc_freq(term), term
+
+
+def test_postings_sorted_and_complete(built):
+    reader, oracle, *_ = built
+    docs, tf, dl = reader.postings("peterman")  # hot term: every doc
+    assert docs.tolist() == list(range(N_DOCS))
+    assert (tf >= 1).all()
+    assert dl.tolist() == oracle.doc_len.tolist()
+
+
+def test_keyword_and_or(built):
+    reader, oracle, *_ = built
+    for q in [["grape"], ["grape", "honeydew"], ["apple", "banana"],
+              ["unique3"], ["nosuchword"], ["unique1", "unique2"]]:
+        assert reader.search_and(q).tolist() == oracle.search_and(q).tolist(), q
+        assert reader.search_or(q).tolist() == oracle.search_or(q).tolist(), q
+    # stopword-only keyword → empty AND (reference semantics)
+    assert reader.search_and(["the"]).size == 0
+    assert reader.search_keyword("grape").tolist() == \
+        oracle.search_and(["grape"]).tolist()
+
+
+def test_phrase(built):
+    reader, oracle, *_ = built
+    hits = reader.search_phrase(["grape", "honeydew"]).tolist()
+    assert hits == oracle.search_phrase(["grape", "honeydew"]).tolist()
+    assert hits  # positive case exists (even docs)
+    # negative case: odd docs have grape ... honeydew non-adjacent
+    assert not (set(range(1, N_DOCS, 2)) & set(hits))
+    # cross-stopword: "so it was" -> analyzer drops stopwords; positions are
+    # post-filter so "grape honeydew" split by a stopword would still match —
+    # that matches reference positional semantics (positions over output stream)
+
+
+def test_bm25_rank_identity(built):
+    reader, oracle, *_ = built
+    for q in [["grape"], ["grape", "honeydew"], ["apple", "banana", "cherry"],
+              ["peterman"], ["unique5", "grape"], ["apple", "apple"]]:
+        for k in (1, 3, 10, None):
+            d_e, s_e = reader.bm25_topk(q, k)
+            d_o, s_o = oracle.bm25_topk(q, k)
+            assert d_e.tolist() == d_o.tolist(), (q, k)
+            np.testing.assert_allclose(s_e, s_o, rtol=1e-12)
+
+
+def test_bm25_pruned_identical_to_exact(built):
+    reader, *_ = built
+    for q in [["grape"], ["grape", "honeydew"], ["apple", "banana", "cherry"],
+              ["peterman", "unique7"], ["fig", "kiwi", "mango", "lemon"]]:
+        for k in (1, 5, 20):
+            d_e, s_e = reader.bm25_topk(q, k)
+            d_p, s_p = reader.bm25_topk_pruned(q, k)
+            assert d_e.tolist() == d_p.tolist(), (q, k)
+            np.testing.assert_allclose(s_e, s_p, rtol=1e-12)
+
+
+def test_tfidf_reference_quirks(built):
+    reader, oracle, *_ = built
+    for q in [["grape"], ["grape", "honeydew", "grape"], ["apple", "unique0"]]:
+        for k in (3, None):
+            d_e, s_e = reader.tfidf_topk(q, k)
+            d_o, s_o = oracle.tfidf_topk(q, k)
+            assert d_e.tolist() == d_o.tolist(), (q, k)
+            np.testing.assert_allclose(s_e, s_o, rtol=1e-12)
+
+
+def test_empty_queries(built):
+    reader, *_ = built
+    assert reader.bm25_topk([], 5)[0].size == 0
+    assert reader.bm25_topk(["the", "and"], 5)[0].size == 0  # stopword-only
+    assert reader.search_or([])[0:0].size == 0
+    assert reader.search_phrase(["zzz", "qqq"]).size == 0
+
+
+def test_resume_skips_segments(built, ray_session):
+    from peterman_search_engine_ray.pipelines.build import build_index
+    reader, oracle, manifest, idx, cfg = built
+    m2 = build_index(synth_webpages(N_DOCS), idx, cfg)
+    assert m2["n_resumed_segments"] == len(m2["segments"])
+    assert m2["n_docs"] == manifest["n_docs"]
+
+
+def test_rebuild_after_corruption(built, ray_session):
+    """Deleting one segment's blob invalidates only that segment."""
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    reader, oracle, manifest, idx, cfg = built
+    victim = manifest["segments"][0]["segment"]
+    os.remove(os.path.join(idx, "segments", f"{victim}.bin"))
+    m3 = build_index(synth_webpages(N_DOCS), idx, cfg)
+    assert m3["n_resumed_segments"] == len(m3["segments"]) - 1
+    r = IndexReader(idx)
+    assert r.search_and(["grape"]).tolist() == oracle.search_and(["grape"]).tolist()
+
+
+def test_get_docs(built):
+    reader, *_ = built
+    df = reader.get_docs(np.array([0, 5, 7]))
+    assert sorted(df["doc_id"]) == [0, 5, 7]
+    assert df["url"].str.contains("example").all()
