@@ -1,0 +1,98 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language ID, quality counts, token counting, document fingerprinting.
+
+All functions are deterministic and (where SQL-checkable) designed so a
+DuckDB oracle computes the identical integers:
+
+* ``raw_tokens``: the punctuation-tokenizer split WITHOUT the stopword
+  filter (lowercased, empties dropped) — matches
+  ``list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r,.;?!]+'), x -> x <> '')``.
+* ``token_stats``: (n_tokens, n_stop, n_types, n_punct) int counts.
+* ``lang_id``: heuristic — ≥2 English stop-word tokens → 'en' else 'und'
+  (the real multi-language n-gram model slot; deliberately SQL-mirrorable).
+* ``bpe_ish_tokens``: letter-runs / digit-runs / single other-symbols —
+  a BPE-style pre-tokenizer count (RE2-compatible so DuckDB
+  ``regexp_extract_all`` agrees).
+* ``doc_fingerprint``: 61-bit polynomial rolling hash over the raw token
+  stream (winnowing-style content identity; not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .analysis import STOP_WORDS, _TOKEN_RE
+
+_BPE_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]")
+_PUNCT_RE = re.compile(r"[,.;?!]")
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1_000_003
+
+
+def raw_tokens(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text.lower())
+
+
+def token_stats(text: str) -> tuple[int, int, int, int]:
+    toks = raw_tokens(text)
+    n_stop = sum(1 for t in toks if t in STOP_WORDS)
+    return len(toks), n_stop, len(set(toks)), len(_PUNCT_RE.findall(text))
+
+
+def lang_id(text: str) -> str:
+    toks = raw_tokens(text)
+    hits = sum(1 for t in toks if t in STOP_WORDS)
+    return "en" if hits >= 2 else "und"
+
+
+def bpe_ish_count(text: str) -> int:
+    return len(_BPE_RE.findall(text.lower()))
+
+
+def doc_fingerprint(text: str) -> int:
+    toks = raw_tokens(text)
+    if not toks:
+        return 0
+    hs = pd.util.hash_array(np.array(toks, dtype=object)) % _FP_MOD
+    h = 0
+    for th in hs:
+        h = (h * _FP_BASE + int(th)) % _FP_MOD
+    return h
+
+
+# ---------------------------------------------------------------------------
+# map_batches stage
+# ---------------------------------------------------------------------------
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text, …) → per-doc integer stats + lang prediction."""
+    texts = batch["text"].to_pylist()
+    n_tok = np.empty(len(texts), np.int64)
+    n_stop = np.empty(len(texts), np.int64)
+    n_types = np.empty(len(texts), np.int64)
+    n_punct = np.empty(len(texts), np.int64)
+    n_bpe = np.empty(len(texts), np.int64)
+    langs = []
+    fps = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        a, b, c, d = token_stats(t)
+        n_tok[i], n_stop[i], n_types[i], n_punct[i] = a, b, c, d
+        n_bpe[i] = bpe_ish_count(t)
+        langs.append("en" if b >= 2 else "und")
+        fps[i] = doc_fingerprint(t)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(n_tok),
+        "n_stop": pa.array(n_stop),
+        "n_types": pa.array(n_types),
+        "n_punct": pa.array(n_punct),
+        "n_bpe": pa.array(n_bpe),
+        "lang_pred": pa.array(langs, pa.string()),
+        "fingerprint": pa.array(fps),
+    })

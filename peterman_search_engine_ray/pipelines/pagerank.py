@@ -1,0 +1,117 @@
+"""PageRank + combined web search (reference ``IcsSearchEngine``).
+
+Reference semantics reproduced exactly (IcsSearchEngine.java:62-103,
+Node.java:12-17): nodes are every id appearing in the edge list; initial
+previous score 1.0; synchronous (Jacobi) iterations of
+
+    PR(p) = (1 - d) + d * Σ_{q -> p} PR_prev(q) / outdeg(q),   d = 0.85
+
+(no 1/N normalization, no dangling-mass redistribution — quirks kept).
+
+Two implementations with identical output:
+
+* :func:`pagerank_numpy` — driver-side CSR power iteration (the graph is
+  metadata-scale relative to the corpus; this is the ST4 pattern).
+* :func:`pagerank_ray` — per-iteration ``map_batches`` (edge → contribution,
+  with the score vector broadcast via ``ray.put``) + ``groupby(dst).sum``;
+  the shape that scales when the edge list outgrows one node.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def synth_edges(doc_ids: np.ndarray, hub_fraction: int = 7) -> pa.Table:
+    """Deterministic synthetic link graph over doc_ids: two pseudo-random
+    out-links per doc plus extra in-links to a hub (the 'wics' analog in the
+    reference's PageRank tests) so top-by-PR is stable."""
+    ids = np.sort(np.asarray(doc_ids, dtype=np.int64))
+    n = ids.size
+    idx = np.arange(n, dtype=np.int64)
+    d1 = (idx * 7 + 3) % n
+    d2 = (idx * 13 + 5) % n
+    hub = (idx % hub_fraction == 1)
+    src = np.concatenate([ids[idx], ids[idx], ids[idx[hub]]])
+    dst = np.concatenate([ids[d1], ids[d2], np.full(hub.sum(), ids[0])])
+    keep = src != dst
+    return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+
+def _prep(edges: pd.DataFrame):
+    nodes = np.unique(np.concatenate([edges["src"].to_numpy(),
+                                      edges["dst"].to_numpy()]))
+    pos = {int(v): i for i, v in enumerate(nodes)}
+    src = edges["src"].map(pos).to_numpy()
+    dst = edges["dst"].map(pos).to_numpy()
+    outdeg = np.bincount(src, minlength=nodes.size).astype(np.float64)
+    return nodes, src, dst, outdeg
+
+
+def pagerank_numpy(edges: pd.DataFrame, num_iterations: int = 100,
+                   damping: float = 0.85) -> pd.DataFrame:
+    nodes, src, dst, outdeg = _prep(edges)
+    prev = np.ones(nodes.size)
+    for _ in range(num_iterations):
+        contrib = prev[src] / outdeg[src]
+        cur = (1 - damping) + damping * np.bincount(
+            dst, weights=contrib, minlength=nodes.size)
+        prev = cur
+    out = pd.DataFrame({"node": nodes, "score": prev})
+    return out.sort_values(["score", "node"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def pagerank_ray(edges_ds: "ray.data.Dataset", num_iterations: int = 100,
+                 damping: float = 0.85) -> pd.DataFrame:
+    """Distributed iteration: scores broadcast once per iteration, edge
+    contributions shuffled by dst.  Output identical to pagerank_numpy."""
+    deg = (edges_ds.groupby("src").count().to_pandas()
+           .rename(columns={"count()": "outdeg"}))
+    dsts = edges_ds.groupby("dst").count().to_pandas()
+    nodes = np.unique(np.concatenate([deg["src"].to_numpy(),
+                                      dsts["dst"].to_numpy()]))
+    outdeg = dict(zip(deg["src"].tolist(), deg["outdeg"].tolist()))
+    prev = {int(v): 1.0 for v in nodes}
+
+    for _ in range(num_iterations):
+        # broadcast one dict: src -> prev/outdeg (vectorized lookup per batch)
+        ref = ray.put({s: prev[s] / outdeg[s] for s in outdeg})
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            per_src = ray.get(ref)
+            w = pd.Series(batch["src"].to_numpy()).map(per_src).to_numpy()
+            return pa.table({"dst": batch["dst"],
+                             "w": pa.array(w, pa.float64())})
+
+        sums = (edges_ds.map_batches(contrib, batch_format="pyarrow")
+                        .groupby("dst").aggregate(Sum("w", alias_name="s"))
+                        .to_pandas())
+        incoming = dict(zip(sums["dst"].tolist(), sums["s"].tolist()))
+        prev = {int(v): (1 - damping) + damping * incoming.get(int(v), 0.0)
+                for v in nodes}
+
+    out = pd.DataFrame({"node": nodes,
+                        "score": [prev[int(v)] for v in nodes]})
+    return out.sort_values(["score", "node"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def combined_search(reader, pr_scores: dict[int, float], keywords,
+                    k: int = 10, pr_weight: float = 1.0
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Reference web search (IcsSearchEngine.java:139-163): full TF-IDF pass
+    (topK=None) then combined = tfidf + w·pagerank, top-k."""
+    doc_ids, tfidf = reader.tfidf_topk(keywords, None)
+    if doc_ids.size == 0:
+        return doc_ids, tfidf
+    pr = np.array([pr_scores.get(int(d), 0.0) for d in doc_ids])
+    combined = tfidf + pr_weight * pr
+    order = np.lexsort((doc_ids, -combined))[:k]
+    return doc_ids[order], combined[order]

@@ -1,0 +1,164 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata, with
+decode / feature-extract / resize / frame-sample as actor-pool stages.
+
+The container ships no image/audio libraries, so the *codec* layer is a
+deterministic fake format (``FAKI``/``FAKA``/``FAKV`` headers) — but every
+Ray-side concern is real and tested: binary-column schema, small
+``batch_size`` for fat rows, actor-pool signatures with per-actor init,
+Arrow-native outputs.  Swapping ``_decode_fake_*`` for PIL/ffmpeg is a
+one-function change per modality; anything else raises
+``NotImplementedError`` loudly rather than guessing.
+
+Fake formats (big-endian):
+  image: b"FAKI" + u16 height + u16 width + u8 channels + h*w*c payload bytes
+  audio: b"FAKA" + u32 sample_rate + u32 n_samples + n int16 samples
+  video: b"FAKV" + u16 n_frames + per-frame image records
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+
+# --- deterministic synthesis (tests/benches) -------------------------------
+
+def make_fake_image(seed: int, h: int = 8, w: int = 8, c: int = 3) -> bytes:
+    rng = np.random.RandomState(seed)
+    payload = rng.randint(0, 256, size=h * w * c, dtype=np.uint8)
+    return b"FAKI" + struct.pack(">HHB", h, w, c) + payload.tobytes()
+
+
+def make_fake_audio(seed: int, rate: int = 16000, n: int = 1024) -> bytes:
+    rng = np.random.RandomState(seed)
+    samples = (rng.randn(n) * 3000).astype(np.int16)
+    return b"FAKA" + struct.pack(">II", rate, n) + samples.tobytes()
+
+
+def make_fake_video(seed: int, frames: int = 6, h: int = 4, w: int = 4) -> bytes:
+    recs = b"".join(make_fake_image(seed * 1000 + f, h, w, 3)
+                    for f in range(frames))
+    return b"FAKV" + struct.pack(">H", frames) + recs
+
+
+def synth_media_table(n: int, seed: int = 5) -> pa.Table:
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "image": pa.array([make_fake_image(seed + i) for i in range(n)],
+                          pa.binary()),
+        "audio": pa.array([make_fake_audio(seed + i) for i in range(n)],
+                          pa.binary()),
+        "video": pa.array([make_fake_video(seed + i) for i in range(n)],
+                          pa.binary()),
+    })
+
+
+# --- decode kernels ---------------------------------------------------------
+
+def _decode_fake_image(b: bytes) -> np.ndarray:
+    if b[:4] != b"FAKI":
+        raise NotImplementedError(
+            "real image codecs unavailable in this container; "
+            "only the FAKI fake format decodes")
+    h, w, c = struct.unpack(">HHB", b[4:9])
+    return np.frombuffer(b, np.uint8, count=h * w * c, offset=9).reshape(h, w, c)
+
+
+def _decode_fake_audio(b: bytes) -> tuple[int, np.ndarray]:
+    if b[:4] != b"FAKA":
+        raise NotImplementedError("only the FAKA fake format decodes")
+    rate, n = struct.unpack(">II", b[4:12])
+    return rate, np.frombuffer(b, ">i2", count=n, offset=12).astype(np.int16)
+
+
+# --- actor-pool stages ------------------------------------------------------
+
+class ImageFeatures:
+    """image binary → (height, width, channels, mean, std) features.
+    Use with ``map_batches(ImageFeatures, batch_size=small, concurrency=N)``
+    — binary rows are fat; batches must stay object-store-friendly."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs, ws, cs, means, stds = [], [], [], [], []
+        for b in batch["image"].to_pylist():
+            img = _decode_fake_image(b)
+            hs.append(img.shape[0]); ws.append(img.shape[1]); cs.append(img.shape[2])
+            means.append(float(img.mean())); stds.append(float(img.std()))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+            "channels": pa.array(cs, pa.int32()),
+            "mean_px": pa.array(means, pa.float64()),
+            "std_px": pa.array(stds, pa.float64()),
+        })
+
+
+class ImageResize:
+    """Nearest-neighbor resize to (out_h, out_w); emits re-encoded FAKI
+    binaries (stand-in for a real resize kernel)."""
+
+    def __init__(self, out_h: int = 4, out_w: int = 4):
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch["image"].to_pylist():
+            img = _decode_fake_image(b)
+            h, w, c = img.shape
+            yi = (np.arange(self.out_h) * h // self.out_h)
+            xi = (np.arange(self.out_w) * w // self.out_w)
+            small = img[yi][:, xi]
+            out.append(b"FAKI" + struct.pack(">HHB", self.out_h, self.out_w, c)
+                       + small.tobytes())
+        return pa.table({"media_id": batch["media_id"],
+                         "image": pa.array(out, pa.binary())})
+
+
+class AudioFeatures:
+    """audio binary → (sample_rate, n_samples, rms, zero_crossings)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, ns, rms, zc = [], [], [], []
+        for b in batch["audio"].to_pylist():
+            rate, x = _decode_fake_audio(b)
+            rates.append(rate); ns.append(len(x))
+            xf = x.astype(np.float64)
+            rms.append(float(np.sqrt((xf * xf).mean()) if len(x) else 0.0))
+            zc.append(int(((x[:-1].astype(np.int32) * x[1:]) < 0).sum()))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "sample_rate": pa.array(rates, pa.int32()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "rms": pa.array(rms, pa.float64()),
+            "zero_crossings": pa.array(zc, pa.int64()),
+        })
+
+
+class VideoFrameSample:
+    """video binary → every stride-th frame as image rows (flat_map shape:
+    one input row → many output rows)."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, fidx, frames = [], [], []
+        for mid, b in zip(batch["media_id"].to_pylist(),
+                          batch["video"].to_pylist()):
+            if b[:4] != b"FAKV":
+                raise NotImplementedError("only the FAKV fake format decodes")
+            (n_frames,) = struct.unpack(">H", b[4:6])
+            off = 6
+            for f in range(n_frames):
+                h, w, c = struct.unpack(">HHB", b[off + 4:off + 9])
+                rec_len = 9 + h * w * c
+                if f % self.stride == 0:
+                    mids.append(mid); fidx.append(f)
+                    frames.append(b[off:off + rec_len])
+                off += rec_len
+        return pa.table({"media_id": pa.array(mids, pa.int64()),
+                         "frame_idx": pa.array(fidx, pa.int32()),
+                         "image": pa.array(frames, pa.binary())})

@@ -1,0 +1,208 @@
+"""Tests for dedup / similarity / textstats / pagerank / multimodal /
+wordbreak operators, against brute-force numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from peterman_search_engine_ray.functions.textstats import (
+    bpe_ish_count, doc_fingerprint, lang_id, raw_tokens, token_stats)
+from peterman_search_engine_ray.functions.wordbreak import (
+    WordBreakTokenizer, WordBreakStage)
+from peterman_search_engine_ray.stages.dedup import shingle_set
+from peterman_search_engine_ray.stages import multimodal as mm
+
+
+def _docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "completely different content about databases and queries",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "rain rain go away, come again another day!",
+        "",
+    ]
+    return pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                     "text": pa.array(texts, pa.string())})
+
+
+# --- pure functions ---------------------------------------------------------
+
+def test_textstats():
+    t = "The quick, brown fox; the FOX!"
+    assert raw_tokens(t) == ["the", "quick", "brown", "fox", "the", "fox"]
+    n_tok, n_stop, n_types, n_punct = token_stats(t)
+    assert (n_tok, n_stop, n_types, n_punct) == (6, 2, 4, 3)
+    assert lang_id(t) == "en"
+    assert lang_id("zumba wumba") == "und"
+    assert bpe_ish_count("abc123 x-y") == 5  # abc,123,x,-,y
+    assert doc_fingerprint(t) == doc_fingerprint("the QUICK brown fox the fox")
+    assert doc_fingerprint("a b") != doc_fingerprint("b a")
+
+
+def test_shingles():
+    assert shingle_set("a b c d", 2) == {"a b", "b c", "c d"}
+    assert shingle_set("a", 2) == {"a"}
+    assert shingle_set("", 3) == set()
+
+
+def test_wordbreak():
+    tok = WordBreakTokenizer()
+    assert tok.tokenize("catdog") == ["cat", "dog"]
+    assert tok.tokenize("itisaniceday") == ["nice", "day"]  # stopwords dropped
+    with pytest.raises(ValueError):
+        tok.tokenize("qzqzqz")
+    assert tok.tokenize("") == []
+    # prefers high-frequency segmentation: "cats" vs "cat"+"s"? 's' not in dict
+    assert tok.tokenize("catsdogs") == ["cats", "dogs"]
+
+
+# --- Ray operators ----------------------------------------------------------
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.dedup import exact_dedup
+    out = exact_dedup(rd.from_arrow(_docs_table())).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2, 4, 5]  # 3 deduped into 0
+
+
+def test_ngram_jaccard(ray_session):
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.dedup import ngram_jaccard_pairs
+    out = ngram_jaccard_pairs(rd.from_arrow(_docs_table()), k=2,
+                              tau_num=1, tau_den=2)
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 3) in pairs           # exact dup: jaccard 1
+    assert (0, 1) in pairs           # near dup
+    assert (0, 2) not in pairs
+    # brute-force check every reported pair
+    texts = _docs_table()["text"].to_pylist()
+    for a, b in pairs:
+        sa, sb = shingle_set(texts[a], 2), shingle_set(texts[b], 2)
+        assert 2 * len(sa & sb) >= len(sa | sb)
+
+
+def test_minhash_lsh(ray_session):
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.dedup import minhash_lsh_pairs
+    out = minhash_lsh_pairs(rd.from_arrow(_docs_table()), tau=0.5)
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 3) in pairs
+    assert (0, 2) not in pairs
+    jac = dict(zip(zip(out["a"], out["b"]), out["jaccard"]))
+    assert jac[(0, 3)] == 1.0
+
+
+def test_simhash(ray_session):
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.dedup import simhash_pairs
+    out = simhash_pairs(rd.from_arrow(_docs_table()), max_dist=3)
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 3) in pairs                      # identical text, dist 0
+    assert all(d <= 3 for d in out["dist"])
+
+
+def test_embedding_neardup_and_ann(ray_session):
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.dedup import embedding_neardup_pairs
+    from peterman_search_engine_ray.stages.similarity import (
+        LshAnnIndex, cosine_topk)
+    rng = np.random.RandomState(3)
+    M = rng.randn(200, 16)
+    M[50] = M[10] + rng.randn(16) * 0.01        # planted near-dup
+    tbl = pa.table({"vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                    "embedding": pa.array([r.tolist() for r in M],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    pairs = embedding_neardup_pairs(ds, tau=0.95)
+    assert (10, 50) in set(zip(pairs["a"], pairs["b"]))
+
+    # brute-force oracle for top-k
+    q = M[10].astype(np.float64)
+    Mn = M.astype(np.float32).astype(np.float64)
+    Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    cos = Mn @ qn
+    expected = np.lexsort((np.arange(200), -cos))[:5]
+
+    got = cosine_topk(ds, q, k=5)
+    assert got["vec_id"].tolist() == expected.tolist()
+
+    ann = LshAnnIndex(nbits=8, dim=16).build(ds)
+    ids, cs = ann.query(q, k=5, probe_hamming=2)
+    # approximate: must at least find the vector itself + planted dup
+    assert 10 in ids[:2] and 50 in ids[:2]
+
+
+def test_pagerank(ray_session):
+    import ray.data as rd
+    from peterman_search_engine_ray.pipelines.pagerank import (
+        pagerank_numpy, pagerank_ray, synth_edges)
+    edges_tbl = synth_edges(np.arange(40))
+    edges = edges_tbl.to_pandas()
+    a = pagerank_numpy(edges, num_iterations=30)
+    b = pagerank_ray(rd.from_arrow(edges_tbl), num_iterations=30)
+    pd.testing.assert_frame_equal(a, b)
+    # hub (doc 0) gets extra in-links → ranks top
+    assert a.iloc[0]["node"] == 0
+    # reference init/update semantics: no in-links → score = 0.15
+    solo = pagerank_numpy(pd.DataFrame({"src": [1, 2], "dst": [2, 1]}), 10)
+    assert set(solo["node"]) == {1, 2}
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(mm.synth_media_table(10))
+    feats = ds.map_batches(mm.ImageFeatures, batch_format="pyarrow",
+                           batch_size=4, concurrency=2).to_pandas()
+    assert len(feats) == 10
+    assert (feats["height"] == 8).all() and (feats["channels"] == 3).all()
+    assert ((feats["mean_px"] > 80) & (feats["mean_px"] < 175)).all()
+
+    resized = ds.select_columns(["media_id", "image"]).map_batches(
+        mm.ImageResize, fn_constructor_kwargs={"out_h": 4, "out_w": 4},
+        batch_format="pyarrow", batch_size=4, concurrency=2)
+    rfeats = resized.map_batches(mm.ImageFeatures, batch_format="pyarrow",
+                                 batch_size=4, concurrency=2).to_pandas()
+    assert (rfeats["height"] == 4).all() and (rfeats["width"] == 4).all()
+
+    audio = ds.select_columns(["media_id", "audio"]).map_batches(
+        mm.AudioFeatures, batch_format="pyarrow", batch_size=4,
+        concurrency=2).to_pandas()
+    assert (audio["sample_rate"] == 16000).all()
+    assert (audio["rms"] > 0).all()
+
+    frames = ds.select_columns(["media_id", "video"]).map_batches(
+        mm.VideoFrameSample, fn_constructor_kwargs={"stride": 2},
+        batch_format="pyarrow", batch_size=4, concurrency=2).to_pandas()
+    assert len(frames) == 10 * 3  # 6 frames, stride 2
+    assert frames["image"].map(lambda b: b[:4] == b"FAKI").all()
+
+
+def test_multimodal_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        mm._decode_fake_image(b"JPEG1234")
+
+
+def test_wordbreak_stage(ray_session):
+    import ray.data as rd
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["catdog", "zzz"], pa.string())})
+    out = (rd.from_arrow(tbl)
+           .map_batches(WordBreakStage, batch_format="pyarrow", concurrency=1)
+           .to_pandas().sort_values("doc_id"))
+    assert out["tokens"].tolist()[0].tolist() == ["cat", "dog"]
+    assert out["ok"].tolist() == [True, False]
+
+
+def test_text_stats_stage(ray_session):
+    import ray.data as rd
+    from peterman_search_engine_ray.functions.textstats import text_stats_batch
+    out = (rd.from_arrow(_docs_table())
+           .map_batches(text_stats_batch, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id"))
+    assert out["n_tokens"].tolist()[0] == 9
+    assert out["lang_pred"].tolist()[0] == "en"
+    assert out["n_tokens"].tolist()[5] == 0
+    assert out["fingerprint"].tolist()[0] == out["fingerprint"].tolist()[3]
