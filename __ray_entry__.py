@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data search engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here (or in
+the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship pipeline on sf0.001: documents → synthesized web
+  pages → html extraction → tokenize (Porter chain) → term-partitioned
+  segment build (groupby shuffle, block-max posting layout) → BM25 top-10
+  via the on-disk index, joined back to doc metadata.
+* ``queries()`` — one callable per operator from SURVEY.md §2 (and the
+  training-data additions: dedup, ANN, text stats, multimodal plumbing).
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+  (identical column names; integer thresholds; float-safe rank margins).
 """
 
 from __future__ import annotations
@@ -18,27 +18,33 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import numpy as np
+    import pandas as pd
+    from peterman_search_engine_ray.pipelines.entry_queries import get_reader
+
+    reader = get_reader(SF_SMOKE, "porter")
+    rows = []
+    for q in (["data", "stream"], ["slow", "query"], ["spark"]):
+        doc_ids, scores = reader.bm25_topk_pruned(q, 10)
+        docs = reader.get_docs(doc_ids).set_index("doc_id")
+        for rank, (d, s) in enumerate(zip(doc_ids.tolist(), scores.tolist())):
+            rows.append({
+                "query": " ".join(q), "rank": rank, "doc_id": d,
+                "score": s, "url": str(docs.loc[d, "url"]),
+                "doc_len": int(docs.loc[d, "doc_len"]),
+            })
+    return pd.DataFrame(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from peterman_search_engine_ray.pipelines import entry_queries
+    return entry_queries.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from peterman_search_engine_ray.pipelines import entry_queries
+    return entry_queries.oracle_sql()

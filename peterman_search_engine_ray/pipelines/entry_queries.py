@@ -1,0 +1,515 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 as a
+``(sf_dir) -> result`` callable, with (where expressible) an ANSI-SQL DuckDB
+oracle computing the *identical* result.
+
+Parity rules that make the oracles exact:
+* tokenization is the nostem analyzer (punctuation split + stopword filter),
+  mirrored in SQL as ``regexp_split_to_array(lower(text), '[ \\t\\n\\r,.;?!]+')``
+  + an inline NOT IN stop list (RE2 and Python ``re`` agree on these
+  patterns);
+* thresholds use pure-integer arithmetic (``inter·den ≥ num·union``);
+* float scores are never hashed — ranked queries return doc_id sets whose
+  boundaries were checked to have float-safe margins;
+* BM25/TF-IDF SQL mirrors the engine's expression order exactly (same
+  association, same constants) so scores agree to the last ULP.
+
+Stemmed-analyzer variants (Porter is not SQL-expressible) are registered as
+rows-only queries and verified against the brute-force oracle in pytest.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..config import IndexConfig
+from ..corpus import webpages_from_documents
+from ..functions.analysis import STOP_WORDS
+from ..state import manifest as mf
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_STOP_IN = "'" + "','".join(sorted(STOP_WORDS)) + "'"
+_SPLIT = "regexp_split_to_array(lower(text), '[ \\t\\n\\r,.;?!]+')"
+# raw tokens (empties removed), and analyzer tokens (stopwords also removed)
+_TS_RAW = f"list_filter({_SPLIT}, x -> x <> '')"
+_TS = f"list_filter({_SPLIT}, x -> x <> '' AND x NOT IN ({_STOP_IN}))"
+
+_TOKS = f"WITH toks AS (SELECT doc_id, {_TS} AS ts FROM documents)"
+
+_BM25_TERMS = ("slow", "query")
+_AND_TERMS = ("data", "query")
+_OR_TERMS = ("spark", "vector")
+_PHRASE = ("big", "data")
+_KEYWORD = "data"
+_NGRAM_K, _TAU_NUM, _TAU_DEN = 2, 1, 2
+_NEARDUP_TAU = 0.3
+_ANN_K = 20
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+
+
+def _emb(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                 columns=["vec_id", "embedding"])
+
+
+def _tokenized(sf_dir: str, analyzer: str = "nostem") -> "ray.data.Dataset":
+    from ..stages.tokenize import ExtractTokenize
+    return _docs(sf_dir).map_batches(
+        ExtractTokenize,
+        fn_constructor_kwargs={"analyzer": analyzer, "positional": False,
+                               "from_html": False},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
+
+
+def _exploded(sf_dir: str, analyzer: str = "nostem") -> "ray.data.Dataset":
+    from ..stages.tokenize import make_explode
+    return _tokenized(sf_dir, analyzer).map_batches(
+        make_explode(1, 62, positional=False), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# index build/cache per (sf_dir, analyzer)
+# ---------------------------------------------------------------------------
+
+_readers: dict = {}
+
+
+def index_dir_for(sf_dir: str, analyzer: str) -> str:
+    docs = os.path.join(sf_dir, "documents.parquet")
+    fp = mf.input_fingerprint([docs])[docs]
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}-{analyzer}-{fp[0]}-{fp[1]}"
+    return os.path.join("/tmp", "peterman_idx", key)
+
+
+def get_reader(sf_dir: str, analyzer: str = "nostem"):
+    """Build (or resume) the index for sf_dir and return an IndexReader.
+    The corpus goes through the FULL path: documents → synthesized web pages
+    (html) → extraction → tokenize → shuffle → segments."""
+    from .build import build_index
+    from .query import IndexReader
+    key = (sf_dir, analyzer)
+    r = _readers.get(key)
+    if r is not None:
+        return r
+    idx = index_dir_for(sf_dir, analyzer)
+    cfg = IndexConfig(num_term_partitions=8, doc_range_bits=12,
+                      positional=True, analyzer=analyzer)
+    build_index(webpages_from_documents(sf_dir), idx, cfg)  # resumes if valid
+    r = IndexReader(idx)
+    _readers[key] = r
+    return r
+
+
+def _ids_frame(arr: np.ndarray, col: str = "doc_id") -> pd.DataFrame:
+    return pd.DataFrame({col: pd.Series(np.sort(np.asarray(arr)), dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_tokenize_term_counts(sf_dir: str):
+    return (_exploded(sf_dir)
+            .select_columns(["doc_id", "term", "tf"])
+            .sort(["doc_id", "term"]))
+
+
+def q_term_df_top100(sf_dir: str):
+    out = (_exploded(sf_dir)
+           .groupby("term").count()
+           .to_pandas()
+           .rename(columns={"count()": "df"}))
+    out = out.sort_values(["df", "term"], ascending=[False, True]).head(100)
+    return out.reset_index(drop=True)
+
+
+def q_doc_token_stats(sf_dir: str):
+    from ..functions.textstats import text_stats_batch
+    return (_docs(sf_dir)
+            .map_batches(text_stats_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_tokens", "n_stop", "n_types",
+                             "n_punct", "n_bpe"])
+            .sort("doc_id"))
+
+
+def q_lang_pred_counts(sf_dir: str):
+    from ..functions.textstats import text_stats_batch
+    out = (_docs(sf_dir)
+           .map_batches(text_stats_batch, batch_format="pyarrow")
+           .groupby("lang_pred").count()
+           .to_pandas().rename(columns={"count()": "n"}))
+    return out.sort_values("lang_pred").reset_index(drop=True)
+
+
+def q_quality_filter(sf_dir: str):
+    from ..functions.textstats import text_stats_batch
+
+    def keep(batch: pa.Table) -> pa.Table:
+        n_tok = batch["n_tokens"].to_numpy()
+        n_stop = batch["n_stop"].to_numpy()
+        n_types = batch["n_types"].to_numpy()
+        m = (n_tok >= 10) & (n_stop * 10 <= n_tok * 6) & (n_types * 2 >= n_tok)
+        return batch.filter(pa.array(m)).select(["doc_id"])
+
+    return (_docs(sf_dir)
+            .map_batches(text_stats_batch, batch_format="pyarrow")
+            .map_batches(keep, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+def q_keyword_search(sf_dir: str):
+    return _ids_frame(get_reader(sf_dir).search_keyword(_KEYWORD))
+
+
+def q_and_search(sf_dir: str):
+    return _ids_frame(get_reader(sf_dir).search_and(list(_AND_TERMS)))
+
+
+def q_or_search(sf_dir: str):
+    return _ids_frame(get_reader(sf_dir).search_or(list(_OR_TERMS)))
+
+
+def q_phrase_search(sf_dir: str):
+    return _ids_frame(get_reader(sf_dir).search_phrase(list(_PHRASE)))
+
+
+def q_bm25_top10(sf_dir: str):
+    d, _ = get_reader(sf_dir).bm25_topk_pruned(list(_BM25_TERMS), 10)
+    return pd.DataFrame({"doc_id": pd.Series(d, dtype=np.int64)})
+
+
+def q_tfidf_top10(sf_dir: str):
+    d, _ = get_reader(sf_dir).tfidf_topk(list(_BM25_TERMS), 10)
+    return pd.DataFrame({"doc_id": pd.Series(d, dtype=np.int64)})
+
+
+def q_index_stats(sf_dir: str):
+    r = get_reader(sf_dir)
+    n_post = sum(s["n_postings"] for s in r.manifest["segments"])
+    terms: set[str] = set()
+    for s in r.manifest["segments"]:
+        sr = r._segment(int(s["tp"]), int(s["dr"]))
+        terms.update(sr.terms.index.tolist())
+    return pd.DataFrame({"n_postings": pd.Series([n_post], dtype=np.int64),
+                         "n_terms": pd.Series([len(terms)], dtype=np.int64)})
+
+
+def q_extract_invariant(sf_dir: str):
+    """Byte-identical html→text extraction: counts docs where
+    extract(page_html(doc_id, text)) == text."""
+    from ..corpus import page_html
+    from ..functions.extract import extract_text
+
+    def check(batch: pa.Table) -> pa.Table:
+        ok = sum(
+            extract_text(page_html(int(d), t or "")) == (t or "")
+            for d, t in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()))
+        return pa.table({"n_docs": pa.array([batch.num_rows], pa.int64()),
+                         "n_exact": pa.array([ok], pa.int64())})
+
+    out = (_docs(sf_dir).map_batches(check, batch_format="pyarrow")
+           .to_pandas().sum())
+    return pd.DataFrame({"n_docs": pd.Series([out["n_docs"]], dtype=np.int64),
+                         "n_exact": pd.Series([out["n_exact"]], dtype=np.int64)})
+
+
+def q_dedup_exact(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+    return exact_dedup(_docs(sf_dir)).sort("doc_id")
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(sf_dir), k=_NGRAM_K,
+                               tau_num=_TAU_NUM, tau_den=_TAU_DEN)
+
+
+def q_ann_cosine_top20(sf_dir: str):
+    from ..stages.similarity import cosine_topk
+    emb = _emb(sf_dir)
+    q = (emb.sort("vec_id").take(1))[0]["embedding"]
+    out = cosine_topk(emb, np.asarray(q, dtype=np.float64), k=_ANN_K)
+    return pd.DataFrame({"vec_id": pd.Series(np.sort(out["vec_id"].to_numpy()),
+                                             dtype=np.int64)})
+
+
+def q_embedding_neardup(sf_dir: str):
+    from ..stages.dedup import embedding_neardup_pairs
+    out = embedding_neardup_pairs(_emb(sf_dir), tau=_NEARDUP_TAU)
+    return out[["a", "b"]].astype(np.int64)
+
+
+# --- rows-only (non-SQL-expressible) ---------------------------------------
+
+def q_bm25_top10_stemmed(sf_dir: str):
+    r = get_reader(sf_dir, "porter")
+    d, s = r.bm25_topk_pruned(list(_BM25_TERMS), 10)
+    return pd.DataFrame({"doc_id": pd.Series(d, dtype=np.int64),
+                         "score": s})
+
+
+def q_minhash_pairs(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(sf_dir), tau=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from ..stages.dedup import simhash_pairs
+    return simhash_pairs(_docs(sf_dir), max_dist=3)
+
+
+def q_fingerprints(sf_dir: str):
+    from ..functions.textstats import text_stats_batch
+    return (_docs(sf_dir)
+            .map_batches(text_stats_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "fingerprint"])
+            .sort("doc_id"))
+
+
+def q_pagerank_top20(sf_dir: str):
+    from .pagerank import pagerank_ray, synth_edges
+    ids = _docs(sf_dir).select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    edges = ray.data.from_arrow(synth_edges(ids))
+    out = pagerank_ray(edges, num_iterations=20)
+    return out.head(20).reset_index(drop=True)
+
+
+def q_websearch_top10(sf_dir: str):
+    from .pagerank import combined_search, pagerank_numpy, synth_edges
+    r = get_reader(sf_dir, "porter")
+    ids = _docs(sf_dir).select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    pr = pagerank_numpy(synth_edges(ids).to_pandas(), num_iterations=20)
+    scores = dict(zip(pr["node"].tolist(), pr["score"].tolist()))
+    d, s = combined_search(r, scores, list(_BM25_TERMS), k=10, pr_weight=0.1)
+    return pd.DataFrame({"doc_id": pd.Series(d, dtype=np.int64), "score": s})
+
+
+def q_ann_lsh_top10(sf_dir: str):
+    from ..stages.similarity import LshAnnIndex
+    emb = _emb(sf_dir)
+    q = np.asarray((emb.sort("vec_id").take(1))[0]["embedding"], dtype=np.float64)
+    dim = q.size
+    ann = LshAnnIndex(nbits=10, dim=dim).build(emb)
+    ids, cos = ann.query(q, k=10, probe_hamming=2)
+    return pd.DataFrame({"vec_id": pd.Series(ids, dtype=np.int64), "cos": cos})
+
+
+def q_wordbreak(sf_dir: str):
+    from ..functions.wordbreak import WordBreakStage
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+        "text": pa.array(["catdog", "itisaniceday", "raindogcat", "qqq"],
+                         pa.string()),
+    })
+    out = (ray.data.from_arrow(tbl)
+           .map_batches(WordBreakStage, batch_format="pyarrow", concurrency=1)
+           .to_pandas().sort_values("doc_id"))
+    out["tokens"] = out["tokens"].map(lambda t: " ".join(t))
+    return out.reset_index(drop=True)
+
+
+def q_media_features(sf_dir: str):
+    from ..stages import multimodal as mm
+    ds = ray.data.from_arrow(mm.synth_media_table(64))
+    img = ds.select_columns(["media_id", "image"]).map_batches(
+        mm.ImageFeatures, batch_format="pyarrow", batch_size=16,
+        concurrency=2).to_pandas()
+    audio = ds.select_columns(["media_id", "audio"]).map_batches(
+        mm.AudioFeatures, batch_format="pyarrow", batch_size=16,
+        concurrency=2).to_pandas()
+    return img.merge(audio, on="media_id").sort_values("media_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+def queries():
+    return {
+        "tokenize_term_counts": q_tokenize_term_counts,
+        "term_df_top100": q_term_df_top100,
+        "doc_token_stats": q_doc_token_stats,
+        "lang_pred_counts": q_lang_pred_counts,
+        "quality_filter": q_quality_filter,
+        "keyword_search": q_keyword_search,
+        "and_search": q_and_search,
+        "or_search": q_or_search,
+        "phrase_search": q_phrase_search,
+        "bm25_top10": q_bm25_top10,
+        "tfidf_top10": q_tfidf_top10,
+        "index_stats": q_index_stats,
+        "extract_invariant": q_extract_invariant,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_top20": q_ann_cosine_top20,
+        "embedding_neardup": q_embedding_neardup,
+        # rows-only (non-SQL-expressible: stemming / sketches / iterative)
+        "bm25_top10_stemmed": q_bm25_top10_stemmed,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "fingerprints": q_fingerprints,
+        "pagerank_top20": q_pagerank_top20,
+        "websearch_top10": q_websearch_top10,
+        "ann_lsh_top10": q_ann_lsh_top10,
+        "wordbreak": q_wordbreak,
+        "media_features": q_media_features,
+    }
+
+
+def oracle_sql():
+    terms_in = "'" + "','".join(_BM25_TERMS) + "'"
+    and_in = "'" + "','".join(_AND_TERMS) + "'"
+    or_in = "'" + "','".join(_OR_TERMS) + "'"
+    phrase = " ".join(_PHRASE)
+
+    bm25 = f"""
+{_TOKS},
+tf AS (SELECT doc_id, t AS term, count(*) AS tf
+       FROM toks, UNNEST(ts) AS u(t) WHERE t IN ({terms_in}) GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) AS n,
+                 CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf, df, dl, stats
+  WHERE tf.term = df.term AND dl.doc_id = tf.doc_id
+  GROUP BY tf.doc_id)
+SELECT doc_id FROM scores ORDER BY score DESC, doc_id LIMIT 10"""
+
+    tfidf = f"""
+{_TOKS},
+tf AS (SELECT doc_id, t AS term, count(*) AS tf
+       FROM toks, UNNEST(ts) AS u(t) WHERE t IN ({terms_in}) GROUP BY 1, 2),
+stats AS (SELECT count(*) AS n FROM toks),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( (tf.tf * log10(CAST(stats.n AS DOUBLE) / df.df))
+              * (1.0 * log10(CAST(stats.n AS DOUBLE) / df.df)) ) AS dot,
+         sum( (tf.tf * log10(CAST(stats.n AS DOUBLE) / df.df))
+              * (tf.tf * log10(CAST(stats.n AS DOUBLE) / df.df)) ) AS veclen
+  FROM tf, df, stats WHERE tf.term = df.term GROUP BY tf.doc_id)
+SELECT doc_id FROM scores ORDER BY dot / sqrt(veclen) DESC, doc_id LIMIT 10"""
+
+    ngram = f"""
+{_TOKS},
+sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) < {_NGRAM_K} THEN ts[g] ELSE
+              ts[g] || ' ' || ts[g+1] END AS s
+       FROM toks, LATERAL (SELECT unnest(generate_series(
+              1, greatest(len(ts) - {_NGRAM_K} + 1, CASE WHEN len(ts) > 0
+              THEN 1 ELSE 0 END))) AS g)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT a, b FROM pairs
+JOIN cnt ca ON ca.doc_id = pairs.a JOIN cnt cb ON cb.doc_id = pairs.b
+WHERE inter * {_TAU_DEN} >= {_TAU_NUM} * (ca.n + cb.n - inter)
+ORDER BY a, b"""
+
+    return {
+        "tokenize_term_counts": f"""
+{_TOKS}
+SELECT doc_id, t AS term, count(*) AS tf
+FROM toks, UNNEST(ts) AS u(t) GROUP BY doc_id, t ORDER BY doc_id, term""",
+
+        "term_df_top100": f"""
+{_TOKS}
+SELECT t AS term, count(DISTINCT doc_id) AS df
+FROM toks, UNNEST(ts) AS u(t)
+GROUP BY t ORDER BY df DESC, term LIMIT 100""",
+
+        "doc_token_stats": f"""
+SELECT doc_id,
+  len({_TS_RAW}) AS n_tokens,
+  len(list_filter({_TS_RAW}, x -> x IN ({_STOP_IN}))) AS n_stop,
+  len(list_distinct({_TS_RAW})) AS n_types,
+  length(text) - length(regexp_replace(text, '[,.;?!]', '', 'g')) AS n_punct,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r]')) AS n_bpe
+FROM documents ORDER BY doc_id""",
+
+        "lang_pred_counts": f"""
+SELECT CASE WHEN len(list_filter({_TS_RAW}, x -> x IN ({_STOP_IN}))) >= 2
+            THEN 'en' ELSE 'und' END AS lang_pred,
+       count(*) AS n
+FROM documents GROUP BY 1 ORDER BY 1""",
+
+        "quality_filter": f"""
+WITH s AS (SELECT doc_id,
+  len({_TS_RAW}) AS n_tokens,
+  len(list_filter({_TS_RAW}, x -> x IN ({_STOP_IN}))) AS n_stop,
+  len(list_distinct({_TS_RAW})) AS n_types
+FROM documents)
+SELECT doc_id FROM s
+WHERE n_tokens >= 10 AND n_stop * 10 <= n_tokens * 6
+  AND n_types * 2 >= n_tokens ORDER BY doc_id""",
+
+        "keyword_search": f"""
+{_TOKS}
+SELECT doc_id FROM toks WHERE list_contains(ts, '{_KEYWORD}') ORDER BY doc_id""",
+
+        "and_search": f"""
+{_TOKS}
+SELECT doc_id FROM toks
+WHERE list_contains(ts, '{_AND_TERMS[0]}') AND list_contains(ts, '{_AND_TERMS[1]}')
+ORDER BY doc_id""",
+
+        "or_search": f"""
+{_TOKS}
+SELECT doc_id FROM toks
+WHERE list_contains(ts, '{_OR_TERMS[0]}') OR list_contains(ts, '{_OR_TERMS[1]}')
+ORDER BY doc_id""",
+
+        "phrase_search": f"""
+{_TOKS}
+SELECT doc_id FROM toks
+WHERE ' ' || array_to_string(ts, ' ') || ' ' LIKE '% {phrase} %'
+ORDER BY doc_id""",
+
+        "bm25_top10": bm25,
+        "tfidf_top10": tfidf,
+
+        "index_stats": f"""
+{_TOKS},
+tf AS (SELECT DISTINCT doc_id, t AS term FROM toks, UNNEST(ts) AS u(t))
+SELECT count(*) AS n_postings, count(DISTINCT term) AS n_terms FROM tf""",
+
+        "extract_invariant":
+            "SELECT count(*) AS n_docs, count(*) AS n_exact FROM documents",
+
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+
+        "ngram_jaccard": ngram,
+
+        "ann_cosine_top20": f"""
+WITH q AS (SELECT embedding AS e FROM embeddings
+           WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+SELECT vec_id FROM (
+  SELECT vec_id, list_cosine_similarity(embedding, (SELECT e FROM q)) AS c
+  FROM embeddings ORDER BY c DESC, vec_id LIMIT {_ANN_K})
+ORDER BY vec_id""",
+
+        "embedding_neardup": f"""
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_NEARDUP_TAU}
+ORDER BY a, b""",
+    }
