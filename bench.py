@@ -1,0 +1,143 @@
+"""Headline benchmarks: index-build throughput + BM25 query latency.
+
+Prints ONE JSON line:
+  {"metric": "index_build_sec", "value": <build seconds>, "unit": "sec",
+   "queries": {...per-stage seconds / latency stats...},
+   "sf": <sf dir>, "num_cpus": N, "docs": M, "docs_per_sec": ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32),
+     GRAFT_BENCH_REPLICATE (default 8 — corpus replication factor, the
+     reference-stress-test pattern, so compute dominates fixed overhead).
+
+--scaling: run the same job in two fresh processes at num_cpus=8 and 32 and
+report both throughputs + scaling efficiency (sandbox stand-in for the
+north rule's N-node vs 4N-node clusters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_scaling() -> None:
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo, tput_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3), "unit": "ratio",
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "docs_per_sec_lo": round(tput_lo, 1),
+        "docs_per_sec_hi": round(tput_hi, 1),
+        "build_sec_lo": r_lo["value"], "build_sec_hi": r_hi["value"],
+    }))
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "320"))
+
+    import numpy as np
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from peterman_search_engine_ray.config import IndexConfig
+    from peterman_search_engine_ray.corpus import webpages_from_documents
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import (IndexReader,
+                                                            QueryExecutor)
+
+    # warm OS page cache (untimed) so we measure compute + shuffle
+    _ = webpages_from_documents(sf_dir).count()
+
+    idx = f"/tmp/peterman_bench_idx_{ncpu}"
+    shutil.rmtree(idx, ignore_errors=True)
+    # partitioning fixed across parallelism levels (same job, same plan —
+    # only the CPU count changes between scaling runs)
+    cfg = IndexConfig(num_term_partitions=256, doc_range_bits=17,
+                      positional=True, analyzer="porter")
+
+    # contiguous replicate shift → few, fat doc ranges (not one per copy)
+    corpus = webpages_from_documents(sf_dir, replicate=replicate,
+                                     replicate_shift=8192)
+    t0 = time.perf_counter()
+    manifest = build_index(corpus, idx, cfg, resume=False)
+    t_build = time.perf_counter() - t0
+    n_docs = manifest["n_docs"]
+
+    # ---- query replay -----------------------------------------------------
+    reader = IndexReader(idx)
+    vocab = ["data", "query", "batch", "stream", "spark", "window", "join",
+             "hash", "scan", "merge", "sort", "filter", "vector", "column",
+             "slow", "fast", "big", "small", "key", "table"]
+    rng = np.random.RandomState(42)
+    queries = [" ".join(rng.choice(vocab, size=rng.randint(1, 4),
+                                   replace=False)) for _ in range(500)]
+
+    for q in queries[:10]:          # warm segment dirs + decode caches
+        reader.bm25_topk_pruned(q.split(), 10)
+    lat = []
+    t0 = time.perf_counter()
+    for q in queries[:200]:
+        s = time.perf_counter()
+        reader.bm25_topk_pruned(q.split(), 10)
+        lat.append(time.perf_counter() - s)
+    lat = np.array(lat)
+
+    import ray.data as rd
+    qds = rd.from_items([{"query_id": i, "query": q, "k": 10,
+                          "mode": "bm25_pruned"}
+                         for i, q in enumerate(queries)]).repartition(ncpu)
+    t0 = time.perf_counter()
+    n_res = qds.map_batches(QueryExecutor,
+                            fn_constructor_kwargs={"index_dir": idx},
+                            batch_format="pyarrow",
+                            concurrency=max(2, ncpu // 4)).count()
+    t_qpool = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "index_build_sec",
+        "value": round(t_build, 2),
+        "unit": "sec",
+        "queries": {
+            "index_build": round(t_build, 2),
+            "query_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
+            "query_p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 2),
+            "query_pool_500_sec": round(t_qpool, 2),
+            "query_pool_qps": round(n_res / t_qpool, 1),
+        },
+        "sf": sf_dir, "num_cpus": ncpu,
+        "docs": n_docs, "replicate": replicate,
+        "docs_per_sec": round(n_docs / t_build, 1),
+        "n_segments": len(manifest["segments"]),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

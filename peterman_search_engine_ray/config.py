@@ -43,8 +43,9 @@ class IndexConfig:
     b: float = 0.75
 
     # --- execution ----------------------------------------------------
-    tokenize_batch_size: int = 256       # web pages are fat rows
-    explode_batch_size: int = 8192
+    # Hot map stages run with batch_size=None (whole-block batches): explicit
+    # batch sizes force cross-block coalescing that breaks operator fusion.
+    # Block sizes are bounded by the reader + DataContext.target_max_block_size.
     query_concurrency: int = 4           # searcher actor pool size
 
     # --- layout on disk ----------------------------------------------

@@ -69,10 +69,42 @@ def _wrap_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def webpages_from_documents(sf_dir: str, *, columns=("doc_id", "text", "lang")
-                            ) -> "ray.data.Dataset":
-    """Driver documents table → web-page corpus Dataset (lazy, streaming)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+def webpages_from_documents(sf_dir: str, *, columns=("doc_id", "text", "lang"),
+                            replicate: int = 1,
+                            replicate_shift: int = 1 << 23) -> "ray.data.Dataset":
+    """Driver documents table → web-page corpus Dataset (lazy, streaming).
+
+    ``replicate > 1`` emits that many doc_id-shifted copies of every batch —
+    the bench uses it to scale compute volume on the fixed test tables
+    (mirrors the reference stress tests' corpus replication,
+    Team2StressTest.java:26-62)."""
+    # documents.parquet is a single file with ONE row group → the read is a
+    # single unsplittable task and every fused downstream map would run
+    # serially (block count is Ray's map-parallelism unit).  The raw table is
+    # tiny, so an explicit repartition barrier here is cheap and unlocks full
+    # parallelism for the replicate/wrap/tokenize maps.  A real 100 TB corpus
+    # arrives as many files/row groups and needs no such step.
+    nblocks = 4
+    try:
+        import ray as _ray
+        if _ray.is_initialized():
+            nblocks = max(4, 2 * int(_ray.cluster_resources().get("CPU", 2)))
+    except Exception:
+        pass
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=list(columns)).repartition(nblocks)
+    if replicate > 1:
+        shift = replicate_shift  # must exceed max doc_id to stay collision-free
+
+        def rep(batch: pa.Table) -> pa.Table:
+            parts = []
+            for r in range(replicate):
+                ids = pa.array(batch["doc_id"].to_numpy() + r * shift, pa.int64())
+                parts.append(batch.set_column(
+                    batch.schema.get_field_index("doc_id"), "doc_id", ids))
+            return pa.concat_tables(parts)
+
+        ds = ds.map_batches(rep, batch_format="pyarrow")
     return ds.map_batches(_wrap_batch, batch_format="pyarrow")
 
 

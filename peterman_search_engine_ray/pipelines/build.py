@@ -34,15 +34,30 @@ from functools import partial
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 from ..config import IndexConfig
 from ..functions import codec
 from ..stages.tokenize import ExtractTokenize, make_explode
 from ..state import manifest as mf
+
+
+def _make_tokenize_sidewrite(analyzer: str, positional: bool, out_dir: str):
+    """Tokenize fn that also writes its forward-index parquet fragment —
+    the durability checkpoint rides inside the streaming pass instead of
+    costing a separate consume + re-read."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = ExtractTokenize(analyzer, positional)(batch)
+        import uuid
+        pq.write_table(t, os.path.join(out_dir,
+                                       f"fwd-{uuid.uuid4().hex[:12]}.parquet"))
+        return t
+
+    return fn
 
 # Section names in each segment's .bin blob, in layout order.
 _SECTIONS = ("postings", "tf", "dl", "block_last", "block_end",
@@ -60,9 +75,10 @@ def encode_segment(index_dir: str, cfg: IndexConfig,
                    group: pa.Table) -> pa.Table:
     """Encode one (term_partition, doc_range) group into an immutable segment.
 
-    Runs as a Ray task inside ``groupby("part").map_groups``.  All encoding is
-    vectorized: one ``encode_deltas`` call covers every posting block of every
-    term in the segment; block/term metadata come from ``reduceat``.
+    Runs as a Ray task (one per part, via the scatter shuffle or
+    ``groupby("part").map_groups``).  All encoding is vectorized: one
+    ``encode_deltas`` call covers every posting block of every term in the
+    segment; block/term metadata come from ``reduceat``.
     """
     part = int(group["part"][0].as_py())
     tp = part % cfg.num_term_partitions
@@ -207,53 +223,125 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
     → doc-stats streaming aggregate → explode → groupby(part) shuffle →
     vectorized per-segment encode (atomic write + lineage manifest).
     """
+    import time as _time
     cfg = cfg or IndexConfig()
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    timings: dict[str, float] = {}
+    _t0 = _time.perf_counter()
     fwd_dir = os.path.join(index_dir, "forward")
     fwd_meta = os.path.join(index_dir, "forward.manifest.json")
     manifest_path = os.path.join(index_dir, "manifest.json")
 
-    # ---- stage 1: extract + tokenize → forward index (checkpoint) ----
+    # ---- stage 1+2+3a: ONE streaming pass ----------------------------
+    # corpus → tokenize (each task side-writes its forward-index parquet
+    # fragment: the checkpoint costs no extra barrier) → scatter (each task
+    # splits its exploded batch by `part` and appends per-part Arrow
+    # fragments, computing doc stats inline).  A file-scatter hash shuffle
+    # instead of a sort: we need grouping, not order — pure map side, no
+    # barrier, no global sort.  Fragments land on the store partitioned by
+    # key, which is also the multi-node story.
     fwd_fp = {"cfg": _cfg_key(cfg)}
     fwd_m = mf.read_json(fwd_meta)
-    if not (resume and fwd_m and fwd_m.get("fingerprint") == fwd_fp
-            and os.path.isdir(fwd_dir)):
-        tokenized = corpus.map_batches(
-            ExtractTokenize,
-            fn_constructor_kwargs={"analyzer": cfg.analyzer,
-                                   "positional": cfg.positional},
+    resume_fwd = (resume and fwd_m and fwd_m.get("fingerprint") == fwd_fp
+                  and os.path.isdir(fwd_dir))
+    import shutil as _shutil
+    fwd_tmp = fwd_dir + ".tmp"
+    if resume_fwd:
+        tok = ray.data.read_parquet(fwd_dir,
+                                    override_num_blocks=max(2 * ncpu, 8))
+    else:
+        _shutil.rmtree(fwd_tmp, ignore_errors=True)
+        os.makedirs(fwd_tmp, exist_ok=True)
+        tok = corpus.map_batches(
+            _make_tokenize_sidewrite(cfg.analyzer, cfg.positional, fwd_tmp),
             batch_format="pyarrow",
-            batch_size=cfg.tokenize_batch_size,
-            concurrency=(1, 16),
+            # batch_size=None → whole-block batches: slicing blocks into
+            # fixed batches forces cross-block coalescing that serializes
+            # the fused map chain (measured 6x slower); block size is
+            # bounded upstream (corpus blocks + target_max_block_size).
         )
-        import shutil
-        shutil.rmtree(fwd_dir, ignore_errors=True)
-        tokenized.write_parquet(fwd_dir)
-        mf.atomic_write_json(fwd_meta, {"fingerprint": fwd_fp})
 
-    # ---- stage 2: corpus stats (streaming aggregate, no shuffle) -----
-    fwd_stats = ray.data.read_parquet(fwd_dir, columns=["doc_len"])
-    agg = fwd_stats.aggregate(Count(), Sum("doc_len", alias_name="total_len"))
-    n_docs = int(agg["count()"])
-    total_len = int(agg["total_len"] or 0)
+    scatter_dir = os.path.join(index_dir, "scatter")
+    _shutil.rmtree(scatter_dir, ignore_errors=True)
+    explode_fn = make_explode(cfg.num_term_partitions, cfg.doc_range_bits,
+                              cfg.positional)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        n_docs_b = batch.num_rows
+        total_len_b = int(pc.sum(batch["doc_len"]).as_py() or 0)
+        ex = explode_fn(batch).combine_chunks()
+        part = ex["part"].to_numpy()
+        order = np.argsort(part, kind="stable")
+        ex = ex.take(order)
+        part = part[order]
+        starts = np.flatnonzero(np.concatenate(([True], part[1:] != part[:-1])))
+        ends = np.append(starts[1:], part.size)
+        import uuid
+        frag = uuid.uuid4().hex[:12]
+        out_parts, out_rows = [], []
+        for s, e in zip(starts, ends):
+            p = int(part[s])
+            d = os.path.join(scatter_dir, f"part={p}")
+            os.makedirs(d, exist_ok=True)
+            with pa.OSFile(os.path.join(d, f"{frag}.arrow"), "wb") as f:
+                with pa.ipc.new_stream(f, ex.schema) as w:
+                    w.write_table(ex.slice(s, e - s))
+            out_parts.append(p)
+            out_rows.append(int(e - s))
+        if not out_parts:           # batch of empty docs still counts for N
+            out_parts, out_rows = [-1], [0]
+        nd = [n_docs_b] + [0] * (len(out_parts) - 1)
+        tl = [total_len_b] + [0] * (len(out_parts) - 1)
+        return pa.table({"part": pa.array(out_parts, pa.int64()),
+                         "rows": pa.array(out_rows, pa.int64()),
+                         "n_docs": pa.array(nd, pa.int64()),
+                         "total_len": pa.array(tl, pa.int64())})
+
+    frag_stats = tok.map_batches(scatter, batch_format="pyarrow").to_pandas()
+    n_docs = int(frag_stats["n_docs"].sum())
+    total_len = int(frag_stats["total_len"].sum())
     avgdl = (total_len / n_docs) if n_docs else 0.0
+    # largest parts first: the biggest (hot-term) partitions start in the
+    # first wave instead of straggling at the tail
+    part_sizes = (frag_stats.loc[frag_stats["part"] >= 0]
+                  .groupby("part")["rows"].sum().sort_values(ascending=False))
+    parts = part_sizes.index.tolist()
+    if not resume_fwd:
+        _shutil.rmtree(fwd_dir, ignore_errors=True)
+        os.replace(fwd_tmp, fwd_dir)
+        mf.atomic_write_json(fwd_meta, {"fingerprint": fwd_fp})
+    timings["tokenize_scatter"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
 
-    # ---- stage 3: explode → shuffle → encode segments ----------------
-    cols = ["doc_id", "doc_len", "terms", "tfs"]
-    if cfg.positional:
-        cols.append("positions")
-    fwd = ray.data.read_parquet(fwd_dir, columns=cols)
-    exploded = fwd.map_batches(
-        make_explode(cfg.num_term_partitions, cfg.doc_range_bits,
-                     cfg.positional),
-        batch_format="pyarrow", batch_size=cfg.explode_batch_size)
-    seg_stats = (exploded
-                 .groupby("part")
-                 .map_groups(partial(encode_segment, index_dir, cfg),
-                             batch_format="pyarrow")
-                 .to_pandas())
+    def encode_from_frags(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch["part"].to_pylist():
+            d = os.path.join(scatter_dir, f"part={p}")
+            tbls = []
+            for fn in sorted(os.listdir(d)):
+                with pa.memory_map(os.path.join(d, fn)) as f:
+                    tbls.append(pa.ipc.open_stream(f).read_all())
+            out.append(encode_segment(index_dir, cfg, pa.concat_tables(tbls)))
+        return pa.concat_tables(out)
+
+    if parts:
+        seg_stats = (ray.data.from_items([{"part": p} for p in parts])
+                     .repartition(len(parts))
+                     .map_batches(encode_from_frags, batch_format="pyarrow")
+                     .to_pandas())
+    else:
+        import pandas as _pd
+        seg_stats = _pd.DataFrame({c: _pd.Series(dtype=t) for c, t in [
+            ("part", "int64"), ("tp", "int64"), ("dr", "int64"),
+            ("segment", "object"), ("n_terms", "int64"),
+            ("n_postings", "int64"), ("resumed", "bool")]})
+    _shutil.rmtree(scatter_dir, ignore_errors=True)
+    timings["shuffle_encode"] = round(_time.perf_counter() - _t0, 3)
 
     manifest = {
+        "timings": timings,
         "cfg": _cfg_key(cfg),
         "bm25": {"k1": cfg.k1, "b": cfg.b},
         "n_docs": n_docs,

@@ -146,6 +146,13 @@ class IndexReader:
             v.sort()
         self._segments: dict[tuple[int, int], SegmentReader] = {}
         self._df_cache: dict[str, int] = {}
+        # decoded-postings LRU (the ST3 segment-dictionary-cache analogue,
+        # InvertedIndexManager.java:82-84,705-734): hot query terms decode
+        # once per reader, not once per query.
+        self._post_cache: dict[str, tuple] = {}
+        self._post_cache_max = 512
+        self._contrib_cache: dict[str, np.ndarray] = {}
+        self._acc_buf: np.ndarray | None = None
 
     # -- plumbing ---------------------------------------------------------
     def term_partition(self, term: str) -> int:
@@ -167,7 +174,11 @@ class IndexReader:
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Global (doc_ids, tf, dl), doc-range segments concatenated in
-        doc_id order (disjoint ascending ranges — no merge needed)."""
+        doc_id order (disjoint ascending ranges — no merge needed).
+        Decoded results are LRU-cached per reader."""
+        hit = self._post_cache.get(term)
+        if hit is not None:
+            return hit
         parts = []
         for sr in self.term_segments(term):
             p = sr.postings(term, self.cfg.block_size)
@@ -175,10 +186,17 @@ class IndexReader:
                 parts.append(p)
         if not parts:
             z = np.empty(0, np.int64)
-            return z, z.astype(np.uint32), z.astype(np.uint32)
-        return (np.concatenate([p[0] for p in parts]),
-                np.concatenate([p[1] for p in parts]),
-                np.concatenate([p[2] for p in parts]))
+            out = (z, z.astype(np.uint32), z.astype(np.uint32))
+        elif len(parts) == 1:
+            out = parts[0]
+        else:
+            out = (np.concatenate([p[0] for p in parts]),
+                   np.concatenate([p[1] for p in parts]),
+                   np.concatenate([p[2] for p in parts]))
+        if len(self._post_cache) >= self._post_cache_max:
+            self._post_cache.pop(next(iter(self._post_cache)))
+        self._post_cache[term] = out
+        return out
 
     def doc_freq(self, term: str) -> int:
         """Global df = sum of per-segment df (A4 partial+final pattern)."""
@@ -296,6 +314,48 @@ class IndexReader:
             order = order[:k]
         return doc_ids[order], scores[order]
 
+    def _term_contrib(self, term: str, df: int) -> np.ndarray:
+        """Cached per-term BM25 contribution vector (qtf=1)."""
+        c = self._contrib_cache.get(term)
+        if c is None:
+            _, tf, dl = self.postings(term)
+            c = self._bm25_contrib(self._bm25_idf(df), tf, dl)
+            if len(self._contrib_cache) >= self._post_cache_max:
+                self._contrib_cache.pop(next(iter(self._contrib_cache)))
+            self._contrib_cache[term] = c
+        return c
+
+    def _dense_bound(self) -> int | None:
+        """Doc-id upper bound if ids are dense enough for an array
+        accumulator (term-at-a-time scoring without sort/unique)."""
+        if not self._by_tp:
+            return None
+        max_dr = max(max(v) for v in self._by_tp.values())
+        bound = (max_dr + 1) << self.cfg.doc_range_bits
+        if 0 < bound <= max(8 * self.n_docs, 1 << 16):
+            return int(bound)
+        return None
+
+    def _accumulate(self, docs_list, contribs_list
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """Sum per-term contributions into (matched_doc_ids, scores)."""
+        bound = self._dense_bound()
+        if bound is not None:
+            if self._acc_buf is None or self._acc_buf.size < bound:
+                self._acc_buf = np.zeros(bound, np.float64)
+            acc = self._acc_buf
+            for d, c in zip(docs_list, contribs_list):
+                acc[d] += c          # doc_ids unique within one term's list
+            matched = np.flatnonzero(acc)
+            scores = acc[matched].copy()
+            acc[matched] = 0.0       # reset for reuse
+            return matched, scores
+        docs = np.concatenate(docs_list)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        scores = np.bincount(inv, weights=np.concatenate(contribs_list),
+                             minlength=uniq.size)
+        return uniq, scores
+
     def bm25_topk(self, keywords, k: int | None = 10
                   ) -> tuple[np.ndarray, np.ndarray]:
         """Exact term-at-a-time BM25 (the un-pruned baseline scorer)."""
@@ -305,12 +365,10 @@ class IndexReader:
         all_docs, all_scores = [], []
         for t, qtf, df in terms:
             doc_ids, tf, dl = self.postings(t)
+            c = self._term_contrib(t, df)
             all_docs.append(doc_ids)
-            all_scores.append(qtf * self._bm25_contrib(self._bm25_idf(df), tf, dl))
-        docs = np.concatenate(all_docs)
-        uniq, inv = np.unique(docs, return_inverse=True)
-        scores = np.bincount(inv, weights=np.concatenate(all_scores),
-                             minlength=uniq.size)
+            all_scores.append(c if qtf == 1.0 else qtf * c)
+        uniq, scores = self._accumulate(all_docs, all_scores)
         return self._topk(uniq, scores, k)
 
     def bm25_topk_pruned(self, keywords, k: int = 10
@@ -326,12 +384,13 @@ class IndexReader:
         terms = self._query_weights(keywords)
         if not terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        # load postings + bounds once
+        # load postings + bounds once (decode + contrib are reader-cached)
         plists = []
         for t, qtf, df in terms:
             doc_ids, tf, dl = self.postings(t)
             idf = self._bm25_idf(df)
-            contrib = qtf * self._bm25_contrib(idf, tf, dl)
+            c = self._term_contrib(t, df)
+            contrib = c if qtf == 1.0 else qtf * c
             ub_blocks = []
             for sr in self.term_segments(t):
                 bm = sr.block_meta(t)

@@ -33,14 +33,33 @@ from ..functions.analysis import get_analyzer
 from ..functions.extract import extract_text
 
 
+# Process-global analyzer cache: the Porter chain's only state is its stem
+# memo dict, which we WANT shared across batches within a worker process.
+# This lets the tokenize stage run as stateless Ray tasks (no actor-pool
+# spin-up on the critical path) while still amortizing the memo; stages with
+# genuinely expensive state (word-break dicts, models) stay actor pools.
+_ANALYZERS: dict[str, object] = {}
+
+
+def _cached_analyzer(name: str):
+    a = _ANALYZERS.get(name)
+    if a is None:
+        a = get_analyzer(name)
+        _ANALYZERS[name] = a
+    return a
+
+
 class ExtractTokenize:
     """html→text→tokens in one fused pass (project early: html is dropped
     immediately; the fat binary column never crosses another stage boundary).
+
+    Usable as an actor-pool class OR, via :func:`make_extract_tokenize`, as a
+    plain task function (preferred for the cheap Porter chain).
     """
 
     def __init__(self, analyzer: str = "porter", positional: bool = True,
                  from_html: bool = True):
-        self.analyzer = get_analyzer(analyzer)
+        self.analyzer = _cached_analyzer(analyzer)
         self.positional = positional
         self.from_html = from_html
 
@@ -99,6 +118,18 @@ class ExtractTokenize:
             cols["positions"] = pa.array(out_positions,
                                          pa.list_(pa.list_(pa.int32())))
         return pa.table(cols)
+
+
+def make_extract_tokenize(analyzer: str = "porter", positional: bool = True,
+                          from_html: bool = True):
+    """Stateless-task variant: returns a plain fn for ``map_batches`` (tasks
+    reuse warm worker processes; the analyzer + stem memo live in a
+    process-global cache, so there is no per-task setup cost)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return ExtractTokenize(analyzer, positional, from_html)(batch)
+
+    return fn
 
 
 # ---------------------------------------------------------------------------
