@@ -84,13 +84,11 @@ def webpages_from_documents(sf_dir: str, *, columns=("doc_id", "text", "lang"),
     # tiny, so an explicit repartition barrier here is cheap and unlocks full
     # parallelism for the replicate/wrap/tokenize maps.  A real 100 TB corpus
     # arrives as many files/row groups and needs no such step.
-    nblocks = 4
-    try:
-        import ray as _ray
-        if _ray.is_initialized():
-            nblocks = max(4, 2 * int(_ray.cluster_resources().get("CPU", 2)))
-    except Exception:
-        pass
+    # Fixed block count: the scatter stage writes one IPC stream per
+    # (task, part), so task count must be independent of the CPU count or
+    # aggregate overhead inflates with parallelism (and scaling runs stop
+    # comparing the same job).
+    nblocks = 64
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=list(columns)).repartition(nblocks)
     if replicate > 1:

@@ -64,11 +64,16 @@ _SECTIONS = ("postings", "tf", "dl", "block_last", "block_end",
              "block_max_tf", "block_min_dl", "pos", "pos_offsets")
 
 
+LAYOUT_VERSION = 2  # bump on any on-disk format change to invalidate resumes
+
+
 def _cfg_key(cfg: IndexConfig) -> dict:
     d = asdict(cfg)
     # only the fields that change on-disk layout / semantics
-    return {k: d[k] for k in ("num_term_partitions", "doc_range_bits",
-                              "block_size", "positional", "analyzer")}
+    out = {k: d[k] for k in ("num_term_partitions", "doc_range_bits",
+                             "block_size", "positional", "analyzer")}
+    out["layout"] = LAYOUT_VERSION
+    return out
 
 
 def encode_segment(index_dir: str, cfg: IndexConfig,
@@ -136,6 +141,10 @@ def encode_segment(index_dir: str, cfg: IndexConfig,
     term_block_start = np.concatenate(([0], np.cumsum(blocks_per_term)))
 
     # --- positions ------------------------------------------------------
+    # Per-posting byte offsets are stored RELATIVE to their term's position
+    # region as uint32 (4 B/posting instead of 8 — the raw-offset array was
+    # the single largest section of the segment; lossless while any one
+    # term's positions stay under 4 GiB, asserted below).
     if cfg.positional and "positions" in g.column_names:
         pos_col = g["positions"]
         if isinstance(pos_col, pa.ChunkedArray):
@@ -143,10 +152,17 @@ def encode_segment(index_dir: str, cfg: IndexConfig,
         pos_values = pos_col.values.to_numpy()
         pos_list_off = np.asarray(pos_col.offsets)
         pos_buf, pos_vbo = codec.encode_deltas(pos_values, pos_list_off)
-        pos_offsets = codec.list_byte_offsets(pos_vbo, pos_list_off)
+        pos_abs = codec.list_byte_offsets(pos_vbo, pos_list_off)  # n+1 abs
+        term_pos_start = pos_abs[starts]
+        term_pos_end = pos_abs[np.append(starts[1:], n)]
+        rel = pos_abs[:n] - np.repeat(term_pos_start, counts)
+        assert rel.max(initial=0) < (1 << 32), "term position region > 4GiB"
+        pos_offsets = rel.astype(np.uint32)
     else:
         pos_buf = np.empty(0, np.uint8)
-        pos_offsets = np.zeros(n + 1, np.int64)
+        pos_offsets = np.zeros(n, np.uint32)
+        term_pos_start = np.zeros(n_terms, np.int64) if n else np.empty(0, np.int64)
+        term_pos_end = term_pos_start
 
     # --- term-level aggregates -----------------------------------------
     df = counts.astype(np.int64)
@@ -164,7 +180,7 @@ def encode_segment(index_dir: str, cfg: IndexConfig,
         "block_max_tf": block_max_tf,
         "block_min_dl": block_min_dl,
         "pos": pos_buf,
-        "pos_offsets": pos_offsets.astype(np.int64),
+        "pos_offsets": pos_offsets,
     }
     offsets = {}
     cursor = 0
@@ -188,6 +204,8 @@ def encode_segment(index_dir: str, cfg: IndexConfig,
         "block_end_idx": pa.array(term_block_start[1:].astype(np.int64)),
         "max_tf": pa.array(t_max_tf, pa.int32()),
         "min_dl": pa.array(t_min_dl, pa.int32()),
+        "pos_start": pa.array(term_pos_start.astype(np.int64)),
+        "pos_end": pa.array(term_pos_end.astype(np.int64)),
     })
     tmp = seg_dir + ".tmp"
     pq.write_table(directory, tmp)
@@ -263,12 +281,24 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
             # bounded upstream (corpus blocks + target_max_block_size).
         )
 
-    scatter_dir = os.path.join(index_dir, "scatter")
+    # scatter data is transient shuffle state (never part of the durable
+    # index): prefer tmpfs so the exchange doesn't contend with the
+    # checkpoint writes for disk bandwidth; on a cluster this would be the
+    # shuffle service / object store.
+    if os.environ.get("PETERMAN_SCATTER_TMPFS", "1") == "1" and os.path.isdir("/dev/shm"):
+        scatter_dir = os.path.join(
+            "/dev/shm", f"peterman_scatter_{os.path.basename(os.path.normpath(index_dir))}")
+    else:
+        scatter_dir = os.path.join(index_dir, "scatter")
     _shutil.rmtree(scatter_dir, ignore_errors=True)
     explode_fn = make_explode(cfg.num_term_partitions, cfg.doc_range_bits,
                               cfg.positional)
 
     def scatter(batch: pa.Table) -> pa.Table:
+        # ONE spill file per task, each part's rows as an independent IPC
+        # stream at a recorded byte range — file count stays O(tasks), not
+        # O(tasks × parts) (a per-part-file layout melts the filesystem at
+        # thousands of parts).
         n_docs_b = batch.num_rows
         total_len_b = int(pc.sum(batch["doc_len"]).as_py() or 0)
         ex = explode_fn(batch).combine_chunks()
@@ -279,23 +309,29 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
         starts = np.flatnonzero(np.concatenate(([True], part[1:] != part[:-1])))
         ends = np.append(starts[1:], part.size)
         import uuid
-        frag = uuid.uuid4().hex[:12]
-        out_parts, out_rows = [], []
-        for s, e in zip(starts, ends):
-            p = int(part[s])
-            d = os.path.join(scatter_dir, f"part={p}")
-            os.makedirs(d, exist_ok=True)
-            with pa.OSFile(os.path.join(d, f"{frag}.arrow"), "wb") as f:
-                with pa.ipc.new_stream(f, ex.schema) as w:
+        os.makedirs(scatter_dir, exist_ok=True)
+        path = os.path.join(scatter_dir, f"frag-{uuid.uuid4().hex[:12]}.arrow")
+        out_parts, out_rows, out_off, out_len = [], [], [], []
+        opts = pa.ipc.IpcWriteOptions(compression="lz4" if os.environ.get("PETERMAN_SCATTER_LZ4", "1") == "1" else None)
+        with pa.OSFile(path, "wb") as f:
+            for s, e in zip(starts, ends):
+                off = f.tell()
+                with pa.ipc.new_stream(f, ex.schema, options=opts) as w:
                     w.write_table(ex.slice(s, e - s))
-            out_parts.append(p)
-            out_rows.append(int(e - s))
+                out_parts.append(int(part[s]))
+                out_rows.append(int(e - s))
+                out_off.append(off)
+                out_len.append(f.tell() - off)
         if not out_parts:           # batch of empty docs still counts for N
-            out_parts, out_rows = [-1], [0]
-        nd = [n_docs_b] + [0] * (len(out_parts) - 1)
-        tl = [total_len_b] + [0] * (len(out_parts) - 1)
+            out_parts, out_rows, out_off, out_len = [-1], [0], [0], [0]
+        n = len(out_parts)
+        nd = [n_docs_b] + [0] * (n - 1)
+        tl = [total_len_b] + [0] * (n - 1)
         return pa.table({"part": pa.array(out_parts, pa.int64()),
                          "rows": pa.array(out_rows, pa.int64()),
+                         "path": pa.array([path] * n, pa.string()),
+                         "off": pa.array(out_off, pa.int64()),
+                         "len": pa.array(out_len, pa.int64()),
                          "n_docs": pa.array(nd, pa.int64()),
                          "total_len": pa.array(tl, pa.int64())})
 
@@ -315,19 +351,31 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
     timings["tokenize_scatter"] = round(_time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
 
+    import json as _json
+    frag_index = {
+        int(p): _json.dumps([[str(a), int(b), int(c)] for a, b, c in
+                             zip(g["path"], g["off"], g["len"])])
+        for p, g in frag_stats.loc[frag_stats["part"] >= 0].groupby("part")
+    }
+
     def encode_from_frags(batch: pa.Table) -> pa.Table:
+        import json
         out = []
-        for p in batch["part"].to_pylist():
-            d = os.path.join(scatter_dir, f"part={p}")
+        for p, frags in zip(batch["part"].to_pylist(),
+                            batch["frags"].to_pylist()):
             tbls = []
-            for fn in sorted(os.listdir(d)):
-                with pa.memory_map(os.path.join(d, fn)) as f:
-                    tbls.append(pa.ipc.open_stream(f).read_all())
+            for path, off, ln in json.loads(frags):
+                with pa.memory_map(path) as f:
+                    buf = f.read_buffer()
+                tbls.append(pa.ipc.open_stream(
+                    pa.BufferReader(buf.slice(off, ln))).read_all())
             out.append(encode_segment(index_dir, cfg, pa.concat_tables(tbls)))
         return pa.concat_tables(out)
 
     if parts:
-        seg_stats = (ray.data.from_items([{"part": p} for p in parts])
+        seg_stats = (ray.data.from_items(
+                        [{"part": int(p), "frags": frag_index[int(p)]}
+                         for p in parts])
                      .repartition(len(parts))
                      .map_batches(encode_from_frags, batch_format="pyarrow")
                      .to_pandas())

@@ -103,19 +103,22 @@ class SegmentReader:
 
     def positions(self, term: str, doc_ids: np.ndarray,
                   block_size: int) -> list[np.ndarray]:
-        """Position lists for the given (already matched) doc_ids of term."""
+        """Position lists for the given (already matched) doc_ids of term.
+        Per-posting byte offsets are term-relative uint32 (see build.py)."""
         e = self.lookup(term)
         if e is None:
             return []
         all_docs, _, _ = self.postings(term, block_size)
-        slots = int(e["slot_start"]) + np.searchsorted(all_docs, doc_ids)
-        off = self._sec("pos_offsets", np.int64)
-        pos_sec_lo = 0
+        s0, s1 = int(e["slot_start"]), int(e["slot_end"])
+        p_start, p_end = int(e["pos_start"]), int(e["pos_end"])
+        slots = s0 + np.searchsorted(all_docs, doc_ids)
+        rel = self._sec("pos_offsets", np.uint32)
         pos = self._sec("pos", np.uint8)
         out = []
         for s in slots:
-            lo, hi = int(off[s]), int(off[s + 1])
-            out.append(codec.decode_deltas(pos, pos_sec_lo + lo, hi - lo))
+            lo = p_start + int(rel[s])
+            hi = p_start + int(rel[s + 1]) if s + 1 < s1 else p_end
+            out.append(codec.decode_deltas(pos, lo, hi - lo))
         return out
 
 
@@ -193,6 +196,7 @@ class IndexReader:
             out = (np.concatenate([p[0] for p in parts]),
                    np.concatenate([p[1] for p in parts]),
                    np.concatenate([p[2] for p in parts]))
+        out = self._filter_tombstones(*out)
         if len(self._post_cache) >= self._post_cache_max:
             self._post_cache.pop(next(iter(self._post_cache)))
         self._post_cache[term] = out
@@ -478,6 +482,59 @@ class IndexReader:
         with np.errstate(divide="ignore", invalid="ignore"):
             scores = np.where(veclen > 0, dot / np.sqrt(veclen), 0.0)
         return self._topk(uniq, scores, k)
+
+    # -- introspection (reference Q8 test hooks:
+    #    getIndexSegment/getIndexSegmentPositional, InvertedIndexManager.java:745-789)
+    def dump_segment(self, tp: int, dr: int) -> dict:
+        """Full decoded contents of one segment:
+        {term: {doc_id: positions_list}} (positional) or {term: [doc_ids]}."""
+        sr = self._segment(tp, dr)
+        out: dict = {}
+        for term in sr.terms.index:
+            docs, tf, _ = sr.postings(term, self.cfg.block_size)
+            if self.cfg.positional:
+                plists = sr.positions(term, docs, self.cfg.block_size)
+                out[term] = {int(d): p.tolist()
+                             for d, p in zip(docs, plists)}
+            else:
+                out[term] = docs.tolist()
+        return out
+
+    def num_segments(self) -> int:
+        return len(self.manifest["segments"])
+
+    # -- deletions (tombstones) --------------------------------------------
+    # The reference's deleteDocuments is an EMPTY STUB with tests
+    # (InvertedIndexManager.java:483-484, InvertedIndexDeletionTest) — here
+    # deletes are a tombstone manifest applied at read time; segments stay
+    # immutable (compaction = rebuild of affected doc ranges).
+    def _tombstones(self) -> np.ndarray:
+        t = getattr(self, "_tomb_cache", None)
+        if t is None:
+            t = np.asarray(
+                mf.read_json(os.path.join(self.index_dir, "tombstones.json"))
+                or [], dtype=np.int64)
+            t.sort()
+            self._tomb_cache = t
+        return t
+
+    def delete_documents(self, doc_ids) -> int:
+        """Append doc_ids to the tombstone manifest (atomic)."""
+        cur = set(self._tombstones().tolist())
+        cur.update(int(d) for d in np.asarray(doc_ids).tolist())
+        mf.atomic_write_json(os.path.join(self.index_dir, "tombstones.json"),
+                             sorted(cur))
+        self._tomb_cache = None
+        self._post_cache.clear()
+        self._contrib_cache.clear()
+        return len(cur)
+
+    def _filter_tombstones(self, doc_ids: np.ndarray, *arrays):
+        t = self._tombstones()
+        if t.size == 0:
+            return (doc_ids, *arrays)
+        keep = ~np.isin(doc_ids, t, assume_unique=False)
+        return (doc_ids[keep], *(a[keep] for a in arrays))
 
     # -- doc store lookup (J4) ---------------------------------------------
     def get_docs(self, doc_ids: np.ndarray) -> pd.DataFrame:

@@ -1,0 +1,65 @@
+"""Introspection hooks, tombstone deletions, edge-list source — the
+reference's flush-semantics / deletion / graph-read test patterns
+(Team18FlushTest, InvertedIndexDeletionTest, IcsSearchEngine S6)."""
+
+import numpy as np
+import pytest
+
+from peterman_search_engine_ray.config import IndexConfig
+from peterman_search_engine_ray.corpus import synth_rows, synth_webpages
+from peterman_search_engine_ray.functions.analysis import get_analyzer
+
+
+@pytest.fixture()
+def small_index(ray_session, tmp_path):
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(num_term_partitions=2, doc_range_bits=62,
+                      block_size=4, positional=True)
+    build_index(synth_webpages(10), idx, cfg)
+    return IndexReader(idx)
+
+
+def test_dump_segment_matches_analysis(small_index):
+    r = small_index
+    a = get_analyzer("porter")
+    texts = synth_rows(10).to_pandas().set_index("doc_id")["text"]
+    merged: dict = {}
+    for tp in range(2):
+        seg = r.dump_segment(tp, 0)
+        for term, posting in seg.items():
+            assert term not in merged  # term lives in exactly one partition
+            merged[term] = posting
+    # reconstruct expected positional postings from the analyzer
+    for doc_id, text in texts.items():
+        toks = a(text)
+        for p, t in enumerate(toks):
+            assert p in merged[t][doc_id], (t, doc_id, p)
+    assert r.num_segments() == 2
+
+
+def test_tombstone_deletion(small_index):
+    r = small_index
+    before = r.search_keyword("peterman")          # hot term: every doc
+    assert before.size == 10
+    r.delete_documents([3, 7])
+    after = r.search_keyword("peterman")
+    assert after.tolist() == [d for d in before.tolist() if d not in (3, 7)]
+    d, s = r.bm25_topk(["peterman"], None)
+    assert 3 not in d and 7 not in d
+    assert r.search_phrase(["grape", "honeydew"]).tolist() == [
+        x for x in [0, 2, 4, 6, 8] if x not in (3, 7)]
+    # delete is persistent: a fresh reader sees it
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    r2 = IndexReader(r.index_dir)
+    assert 3 not in r2.search_keyword("peterman")
+
+
+def test_edge_list_source(ray_session, tmp_path):
+    from peterman_search_engine_ray.sources.edges import read_edge_list
+    p = tmp_path / "id-graph.tsv"
+    p.write_text("1 2\n2 3\n3\t1\n")
+    out = read_edge_list(str(p)).to_pandas().sort_values(["src", "dst"])
+    assert out["src"].tolist() == [1, 2, 3]
+    assert out["dst"].tolist() == [2, 3, 1]
