@@ -1,0 +1,148 @@
+"""Command-line entry points — the operational surface of the engine.
+
+    python -m peterman_search_engine_ray.cli build --input DIR_OR_PARQUET \
+        --index /tmp/idx [--analyzer porter] [--partitions 64] [--no-positions]
+    python -m peterman_search_engine_ray.cli query --index /tmp/idx \
+        [--mode bm25|bm25_pruned|tfidf|and|or|phrase] [-k 10] TERMS...
+    python -m peterman_search_engine_ray.cli stats --index /tmp/idx
+    python -m peterman_search_engine_ray.cli delete --index /tmp/idx DOC_ID...
+
+The CLI owns its Ray session (guarded init; the library never calls
+ray.init).  --input accepts a parquet file/dir with either the web-page
+schema (url, warc_ts, html, text, lang[, doc_id]) or the documents schema
+(doc_id, text[, lang]) — the latter is wrapped into synthetic pages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_build(args) -> int:
+    ray = _ray_init(args.num_cpus)
+    import ray.data as rd
+    from .config import IndexConfig
+    from .corpus import _wrap_batch
+    from .pipelines.build import build_index
+
+    ds = rd.read_parquet(args.input)
+    cols = set(ds.schema().names)
+    if "html" not in cols:
+        if not {"doc_id", "text"} <= cols:
+            print("input needs (url, warc_ts, html, text, lang) or "
+                  "(doc_id, text)", file=sys.stderr)
+            return 2
+        ds = ds.map_batches(_wrap_batch, batch_format="pyarrow")
+    cfg = IndexConfig(num_term_partitions=args.partitions,
+                      doc_range_bits=args.doc_range_bits,
+                      positional=not args.no_positions,
+                      analyzer=args.analyzer)
+    manifest = build_index(ds, args.index, cfg, resume=not args.no_resume)
+    print(json.dumps({k: manifest[k] for k in
+                      ("n_docs", "avgdl", "timings", "n_resumed_segments")}
+                     | {"n_segments": len(manifest["segments"])}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .pipelines.query import IndexReader
+    r = IndexReader(args.index)
+    terms = args.terms
+    mode = args.mode
+    if mode in ("and", "or", "phrase", "keyword"):
+        d = {"and": r.search_and, "or": r.search_or,
+             "phrase": r.search_phrase,
+             "keyword": lambda t: r.search_keyword(t[0])}[mode](terms)
+        print(json.dumps({"doc_ids": d.tolist()[:args.k] if args.k else d.tolist(),
+                          "total": int(d.size)}))
+        return 0
+    fn = {"bm25": r.bm25_topk, "bm25_pruned": r.bm25_topk_pruned,
+          "tfidf": r.tfidf_topk}[mode]
+    d, s = fn(terms, args.k)
+    docs = r.get_docs(d) if d.size else None
+    urls = (docs.set_index("doc_id")["url"].to_dict() if docs is not None
+            else {})
+    print(json.dumps({"results": [
+        {"rank": i, "doc_id": int(di), "score": float(si),
+         "url": urls.get(int(di), "")}
+        for i, (di, si) in enumerate(zip(d, s))]}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from .pipelines.query import IndexReader
+    r = IndexReader(args.index)
+    m = r.manifest
+    print(json.dumps({
+        "n_docs": m["n_docs"], "avgdl": m["avgdl"],
+        "n_segments": len(m["segments"]),
+        "n_postings": sum(s["n_postings"] for s in m["segments"]),
+        "cfg": m["cfg"], "n_tombstones": int(r._tombstones().size),
+    }))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    from .pipelines.query import IndexReader
+    r = IndexReader(args.index)
+    total = r.delete_documents([int(x) for x in args.doc_ids])
+    print(json.dumps({"n_tombstones": total}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="peterman_search_engine_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--analyzer", default="porter",
+                   choices=["porter", "nostem", "naive"])
+    b.add_argument("--partitions", type=int, default=64)
+    b.add_argument("--doc-range-bits", type=int, default=20)
+    b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--mode", default="bm25_pruned",
+                   choices=["bm25", "bm25_pruned", "tfidf", "and", "or",
+                            "phrase", "keyword"])
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("terms", nargs="+")
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("stats")
+    s.add_argument("--index", required=True)
+    s.set_defaults(fn=cmd_stats)
+
+    d = sub.add_parser("delete")
+    d.add_argument("--index", required=True)
+    d.add_argument("doc_ids", nargs="+")
+    d.set_defaults(fn=cmd_delete)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
