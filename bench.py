@@ -111,18 +111,18 @@ def main() -> None:
                                    replace=False)) for _ in range(500)]
 
     for q in queries[:10]:          # warm segment dirs + decode caches
-        reader.bm25_topk_pruned(q.split(), 10)
+        reader.bm25_topk_auto(q.split(), 10)
     lat = []
     t0 = time.perf_counter()
     for q in queries[:200]:
         s = time.perf_counter()
-        reader.bm25_topk_pruned(q.split(), 10)
+        reader.bm25_topk_auto(q.split(), 10)
         lat.append(time.perf_counter() - s)
     lat = np.array(lat)
 
     import ray.data as rd
     qds = rd.from_items([{"query_id": i, "query": q, "k": 10,
-                          "mode": "bm25_pruned"}
+                          "mode": "bm25_auto"}
                          for i, q in enumerate(queries)]).repartition(ncpu)
     t0 = time.perf_counter()
     n_res = qds.map_batches(QueryExecutor,

@@ -186,7 +186,7 @@ def q_phrase_search(sf_dir: str):
 
 
 def q_bm25_top10(sf_dir: str):
-    d, _ = get_reader(sf_dir).bm25_topk_pruned(list(_BM25_TERMS), 10)
+    d, _ = get_reader(sf_dir).bm25_topk_auto(list(_BM25_TERMS), 10)
     return pd.DataFrame({"doc_id": pd.Series(d, dtype=np.int64)})
 
 
@@ -256,7 +256,7 @@ def q_embedding_neardup(sf_dir: str):
 
 def q_bm25_top10_stemmed(sf_dir: str):
     r = get_reader(sf_dir, "porter")
-    d, s = r.bm25_topk_pruned(list(_BM25_TERMS), 10)
+    d, s = r.bm25_topk_auto(list(_BM25_TERMS), 10)
     return pd.DataFrame({"doc_id": pd.Series(d, dtype=np.int64),
                          "score": s})
 

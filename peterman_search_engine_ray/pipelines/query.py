@@ -313,10 +313,20 @@ class IndexReader:
     @staticmethod
     def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int | None
               ) -> tuple[np.ndarray, np.ndarray]:
-        order = np.lexsort((doc_ids, -scores))
-        if k is not None:
-            order = order[:k]
-        return doc_ids[order], scores[order]
+        """Top-k by (score desc, doc_id asc). O(n) select + small sort:
+        everything tied with the k-th score is kept as a candidate so the
+        doc_id tie-break stays exact (identical output to a full lexsort)."""
+        n = doc_ids.size
+        if k is None or k >= n or n <= 4096:
+            order = np.lexsort((doc_ids, -scores))
+            if k is not None:
+                order = order[:k]
+            return doc_ids[order], scores[order]
+        kth = np.partition(scores, n - k)[n - k]
+        cand = np.flatnonzero(scores >= kth)
+        sub = np.lexsort((doc_ids[cand], -scores[cand]))[:k]
+        sel = cand[sub]
+        return doc_ids[sel], scores[sel]
 
     def _term_contrib(self, term: str, df: int) -> np.ndarray:
         """Cached per-term BM25 contribution vector (qtf=1)."""
@@ -375,6 +385,20 @@ class IndexReader:
         uniq, scores = self._accumulate(all_docs, all_scores)
         return self._topk(uniq, scores, k)
 
+    def bm25_topk_auto(self, keywords, k: int = 10
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        """Adaptive executor: term-at-a-time dense accumulation when every
+        query term is common (pruning cannot skip anything and only adds
+        bookkeeping), block-max pruned DAAT when at least one term is
+        selective.  Rank-identical to both underlying paths."""
+        terms = self._query_weights(keywords)
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        min_df = min(df for _, _, df in terms)
+        if min_df > 0.05 * self.n_docs:
+            return self.bm25_topk(keywords, k)
+        return self.bm25_topk_pruned(keywords, k)
+
     def bm25_topk_pruned(self, keywords, k: int = 10
                          ) -> tuple[np.ndarray, np.ndarray]:
         """MaxScore-family pruned BM25 using term and block-max bounds.
@@ -388,65 +412,70 @@ class IndexReader:
         terms = self._query_weights(keywords)
         if not terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        # load postings + bounds once (decode + contrib are reader-cached)
+        # load postings + bounds once (decode + contrib are reader-cached);
+        # block last_docids concat to one globally-ascending array per term
+        # (blocks ascend within a segment, doc ranges are disjoint ascending)
         plists = []
         for t, qtf, df in terms:
             doc_ids, tf, dl = self.postings(t)
             idf = self._bm25_idf(df)
             c = self._term_contrib(t, df)
             contrib = c if qtf == 1.0 else qtf * c
-            ub_blocks = []
+            lasts, bubs = [], []
             for sr in self.term_segments(t):
                 bm = sr.block_meta(t)
-                if bm is not None:
-                    ub_blocks.append((bm["last_docid"],
-                                      qtf * self._bm25_contrib(
-                                          idf, bm["max_tf"], bm["min_dl"])))
-            ub = float(max((b[1].max() for b in ub_blocks if b[1].size),
-                           default=0.0))
+                if bm is not None and bm["last_docid"].size:
+                    lasts.append(bm["last_docid"])
+                    bubs.append(qtf * self._bm25_contrib(
+                        idf, bm["max_tf"], bm["min_dl"]))
+            all_last = np.concatenate(lasts) if lasts else np.empty(0, np.int64)
+            all_bub = np.concatenate(bubs) if bubs else np.empty(0, np.float64)
+            ub = float(all_bub.max()) if all_bub.size else 0.0
             plists.append({"docs": doc_ids, "contrib": contrib, "ub": ub,
-                           "blocks": ub_blocks})
+                           "last": all_last, "bub": all_bub})
         plists.sort(key=lambda p: -p["ub"])
         suffix = np.concatenate((np.cumsum([p["ub"] for p in plists][::-1])[::-1],
                                  [0.0]))
+
         top_docs = np.empty(0, np.int64)
         top_scores = np.empty(0, np.float64)
         theta = -np.inf
-        evaluated = np.empty(0, np.int64)
-        for j, p in enumerate(plists):
-            if suffix[j] <= theta:
-                break
-            cand = p["docs"]
-            if evaluated.size:
-                cand = cand[~np.isin(cand, evaluated, assume_unique=True)]
-            if cand.size == 0:
-                continue
-            # block-max refinement: candidate → its block via one searchsorted
-            # (block last_docids are globally ascending: blocks ascend within a
-            # segment and doc-range segments cover disjoint ascending ranges)
-            if np.isfinite(theta) and p["blocks"]:
-                all_last = np.concatenate([b[0] for b in p["blocks"]])
-                all_bub = np.concatenate([b[1] for b in p["blocks"]])
-                idx = np.searchsorted(all_last, cand, side="left")
-                bounds = all_bub[np.minimum(idx, all_bub.size - 1)]
-                cand = cand[bounds + suffix[j + 1] > theta]
-                if cand.size == 0:
-                    continue
-            # exact scores for candidates: gather from every term list
-            scores = np.zeros(cand.size, np.float64)
-            for q in plists:
-                idx = np.searchsorted(q["docs"], cand)
-                m = (idx < q["docs"].size)
-                m[m] &= q["docs"][idx[m]] == cand[m]
-                scores[m] += q["contrib"][idx[m]]
+        seen: list[np.ndarray] = []      # candidate lists already evaluated
+        CHUNK = 16384                     # θ ramps between chunks
+
+        def fold(cand, scores):
+            nonlocal top_docs, top_scores, theta
             top_docs = np.concatenate((top_docs, cand))
             top_scores = np.concatenate((top_scores, scores))
-            if top_docs.size > k:
-                d, s = self._topk(top_docs, top_scores, k)
-                top_docs, top_scores = d, s
             if top_docs.size >= k:
+                top_docs, top_scores = self._topk(top_docs, top_scores, k)
                 theta = top_scores[-1]
-            evaluated = np.union1d(evaluated, cand)
+
+        for j, p in enumerate(plists):
+            # an unevaluated doc absent from lists 0..j-1 scores ≤ suffix[j];
+            # strict <: score == θ can still win the doc_id tie-break
+            if suffix[j] < theta:
+                break
+            cand = p["docs"]
+            for ev in seen:
+                cand = cand[~np.isin(cand, ev, assume_unique=True)]
+            for c0 in range(0, cand.size, CHUNK):
+                chunk = cand[c0:c0 + CHUNK]
+                if np.isfinite(theta) and p["last"].size:
+                    idx = np.searchsorted(p["last"], chunk, side="left")
+                    bounds = p["bub"][np.minimum(idx, p["bub"].size - 1)]
+                    # keep == θ candidates: tie-break is by ascending doc_id
+                    chunk = chunk[bounds + suffix[j + 1] >= theta]
+                    if chunk.size == 0:
+                        continue
+                scores = np.zeros(chunk.size, np.float64)
+                for q in plists:
+                    qi = np.searchsorted(q["docs"], chunk)
+                    m = qi < q["docs"].size
+                    m[m] &= q["docs"][qi[m]] == chunk[m]
+                    scores[m] += q["contrib"][qi[m]]
+                fold(chunk, scores)
+            seen.append(p["docs"])
         return self._topk(top_docs, top_scores, k)
 
     # -- reference-semantics TF-IDF (A4/A6 quirks) -------------------------
@@ -579,10 +608,12 @@ class QueryExecutor:
                 d, s = r.search_phrase(words), None
             elif mode == "bm25":
                 d, s = r.bm25_topk(words, k)
+            elif mode == "bm25_pruned":
+                d, s = r.bm25_topk_pruned(words, k)
             elif mode == "tfidf":
                 d, s = r.tfidf_topk(words, k)
             else:
-                d, s = r.bm25_topk_pruned(words, k)
+                d, s = r.bm25_topk_auto(words, k)
             out_docs.append(d.tolist())
             out_scores.append(s.tolist() if s is not None else [])
         return pa.table({
