@@ -34,6 +34,10 @@ class IndexConfig:
     # block-max WAND literature (Ding & Suel, SIGIR 2011).
     block_size: int = 128
     positional: bool = True  # store per-(term,doc) position lists
+    # posting/position codec: "varbyte" (delta+varbyte, reference
+    # DeltaVarLenCompressor) or "naive" (raw 4-byte BE, NaiveCompressor) —
+    # the reference's pluggable Compressor interface (Compressor.java:6-27)
+    codec: str = "varbyte"
 
     # --- analysis -----------------------------------------------------
     analyzer: str = "porter"  # "porter" (tokenize+stem) | "nostem" | "naive"

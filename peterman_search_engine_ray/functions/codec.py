@@ -119,6 +119,45 @@ def decode_deltas(buf: np.ndarray | bytes, start: int = 0,
     return c
 
 
+# --- naive codec (reference NaiveCompressor.java:11-30) --------------------
+# Raw 4-byte big-endian ints, no delta — the reference's pluggable baseline
+# codec.  Same (values, list_offsets) → (buf, value_byte_offsets) interface
+# as encode_deltas so the segment writer can swap codecs (cfg.codec).
+
+def encode_naive(values: np.ndarray,
+                 list_offsets: np.ndarray | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    v = np.asarray(values, dtype=np.int64)
+    if v.size and (v.min() < 0 or v.max() >= 1 << 32):
+        raise ValueError("naive codec encodes uint32 values")
+    buf = v.astype(">u4").view(np.uint8)
+    return buf, np.arange(0, 4 * (v.size + 1), 4, dtype=np.int64)
+
+
+def decode_naive(buf: np.ndarray | bytes, start: int = 0,
+                 length: int | None = None,
+                 restarts: np.ndarray | None = None) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if length is None:
+        length = b.size - start
+    return np.ascontiguousarray(b[start:start + length]).view(">u4").astype(np.int64)
+
+
+# --- codec registry (reference Compressor interface, Compressor.java:6-27) --
+
+CODECS = {
+    "varbyte": (encode_deltas, decode_deltas),
+    "naive": (encode_naive, decode_naive),
+}
+
+
+def get_codec(name: str):
+    try:
+        return CODECS[name]
+    except KeyError:
+        raise ValueError(f"unknown codec {name!r}; have {sorted(CODECS)}")
+
+
 # --- reference-API wrappers (golden-vector parity) -------------------------
 
 def encode(integers: list[int]) -> bytes:

@@ -71,7 +71,7 @@ def _cfg_key(cfg: IndexConfig) -> dict:
     d = asdict(cfg)
     # only the fields that change on-disk layout / semantics
     out = {k: d[k] for k in ("num_term_partitions", "doc_range_bits",
-                             "block_size", "positional", "analyzer")}
+                             "block_size", "positional", "analyzer", "codec")}
     out["layout"] = LAYOUT_VERSION
     return out
 
@@ -122,8 +122,9 @@ def encode_segment(index_dir: str, cfg: IndexConfig,
     block_starts = np.flatnonzero(local % cfg.block_size == 0)
     block_ends = np.append(block_starts[1:], n)
 
-    # --- posting bytes: every block independently delta-coded ---------
-    post_buf, vbo = codec.encode_deltas(doc_ids, np.append(block_starts, n))
+    # --- posting bytes: every block independently coded (cfg.codec) ---
+    enc, _ = codec.get_codec(cfg.codec)
+    post_buf, vbo = enc(doc_ids, np.append(block_starts, n))
     block_end_byte = vbo[block_ends]
     term_post_start = vbo[starts]
     term_post_end = vbo[np.append(starts[1:], n)]
@@ -151,7 +152,7 @@ def encode_segment(index_dir: str, cfg: IndexConfig,
             pos_col = pos_col.combine_chunks()
         pos_values = pos_col.values.to_numpy()
         pos_list_off = np.asarray(pos_col.offsets)
-        pos_buf, pos_vbo = codec.encode_deltas(pos_values, pos_list_off)
+        pos_buf, pos_vbo = enc(pos_values, pos_list_off)
         pos_abs = codec.list_byte_offsets(pos_vbo, pos_list_off)  # n+1 abs
         term_pos_start = pos_abs[starts]
         term_pos_end = pos_abs[np.append(starts[1:], n)]

@@ -45,7 +45,8 @@ class SegmentReader:
     """One immutable (term_partition, doc_range) segment: mmap'd blob +
     term directory."""
 
-    def __init__(self, seg_base: str):
+    def __init__(self, seg_base: str, decode=codec.decode_deltas):
+        self._decode = decode
         self.meta = mf.read_json(seg_base + ".meta.json")
         if self.meta is None:
             raise FileNotFoundError(seg_base + ".meta.json")
@@ -76,7 +77,7 @@ class SegmentReader:
             return None
         df = int(e["df"])
         restarts = np.arange(0, df, block_size, dtype=np.int64)
-        doc_ids = codec.decode_deltas(
+        doc_ids = self._decode(
             self._sec("postings", np.uint8),
             int(e["post_start"]), int(e["post_end"] - e["post_start"]),
             restarts=restarts)
@@ -118,7 +119,7 @@ class SegmentReader:
         for s in slots:
             lo = p_start + int(rel[s])
             hi = p_start + int(rel[s + 1]) if s + 1 < s1 else p_end
-            out.append(codec.decode_deltas(pos, lo, hi - lo))
+            out.append(self._decode(pos, lo, hi - lo))
         return out
 
 
@@ -137,7 +138,9 @@ class IndexReader:
             block_size=c["block_size"],
             positional=c["positional"],
             analyzer=c["analyzer"],
+            codec=c.get("codec", "varbyte"),
             k1=self.manifest["bm25"]["k1"], b=self.manifest["bm25"]["b"])
+        self._decode = codec.get_codec(self.cfg.codec)[1]
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"] or 1.0
         self.analyzer = get_analyzer(self.cfg.analyzer)
@@ -167,7 +170,7 @@ class IndexReader:
         sr = self._segments.get(key)
         if sr is None:
             base = os.path.join(self.index_dir, "segments", f"seg-{tp}-{dr}")
-            sr = SegmentReader(base)
+            sr = SegmentReader(base, self._decode)
             self._segments[key] = sr
         return sr
 

@@ -61,3 +61,19 @@ def test_segmented_decode_restarts():
 def test_roundtrip_property(xs):
     xs = sorted(xs)
     assert codec.decode(codec.encode(xs)) == xs
+
+
+def test_naive_codec_reference_parity():
+    # NaiveCompressor.java:11-30 — raw 4-byte big-endian ints
+    from peterman_search_engine_ray.functions.codec import (decode_naive,
+                                                            encode_naive,
+                                                            get_codec)
+    buf, offs = encode_naive(np.array([1, 256, 2**31 - 1]))
+    assert buf.tobytes().hex() == "00000001" + "00000100" + "7fffffff"
+    assert decode_naive(buf).tolist() == [1, 256, 2**31 - 1]
+    assert decode_naive(buf, 4, 4).tolist() == [256]
+    assert offs.tolist() == [0, 4, 8, 12]
+    enc, dec = get_codec("naive")
+    assert enc is encode_naive and dec is decode_naive
+    with pytest.raises(ValueError):
+        get_codec("nope")

@@ -141,3 +141,24 @@ def test_get_docs(built):
     df = reader.get_docs(np.array([0, 5, 7]))
     assert sorted(df["doc_id"]) == [0, 5, 7]
     assert df["url"].str.contains("example").all()
+
+
+def test_naive_codec_index_identical(ray_session, tmp_path):
+    """cfg.codec='naive' (reference NaiveCompressor) produces rank-identical
+    results to the varbyte layout."""
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    idx = str(tmp_path / "naive_idx")
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=4, block_size=8,
+                      positional=True, codec="naive")
+    build_index(synth_webpages(N_DOCS), idx, cfg)
+    r = IndexReader(idx)
+    oracle = FullScanOracle(synth_rows(N_DOCS).to_pandas())
+    assert r.search_and(["grape", "honeydew"]).tolist() == \
+        oracle.search_and(["grape", "honeydew"]).tolist()
+    d, s = r.bm25_topk(["apple", "banana"], 10)
+    d_o, s_o = oracle.bm25_topk(["apple", "banana"], 10)
+    assert d.tolist() == d_o.tolist()
+    np.testing.assert_allclose(s, s_o, rtol=1e-12)
+    assert r.search_phrase(["grape", "honeydew"]).tolist() == \
+        oracle.search_phrase(["grape", "honeydew"]).tolist()
