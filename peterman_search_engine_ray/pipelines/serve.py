@@ -1,0 +1,96 @@
+"""Sharded query serving: one searcher actor per doc range, driver merges.
+
+The single-process :class:`~.query.IndexReader` opens every segment.  At
+cluster scale the layout shards naturally by DOC RANGE: a shard = all term
+partitions of one doc range, so each actor can score its documents fully
+(classic document-partitioned serving).  Global BM25 statistics (N, avgdl,
+per-term global df) are computed once per query on the driver from the
+shards' term directories and broadcast with the query, so shard-local
+scores are exactly the global scores; the driver merges per-shard top-k
+(k·S candidates — the reference's K1 bounded-heap merge pattern,
+InvertedIndexManager.java:571-668, lifted to actors).
+
+Rank-identity with the single-reader path is tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray
+
+from .query import IndexReader
+
+
+@ray.remote
+class ShardSearcher:
+    """Owns one doc range: scores only segments seg-{tp}-{dr} for its dr."""
+
+    def __init__(self, index_dir: str, dr: int):
+        self.reader = IndexReader(index_dir)
+        self.dr = dr
+        # restrict the reader's view to this shard's doc range
+        for tp in list(self.reader._by_tp):
+            drs = [d for d in self.reader._by_tp[tp] if d == dr]
+            if drs:
+                self.reader._by_tp[tp] = drs
+            else:
+                del self.reader._by_tp[tp]
+
+    def term_df(self, terms: list[str]) -> dict[str, int]:
+        """Shard-local df per term (the A4 partial aggregate)."""
+        return {t: self.reader.doc_freq(t) for t in terms}
+
+    def bm25_local_topk(self, terms_weights: list[tuple[str, float, int]],
+                        k: int) -> tuple[list[int], list[float]]:
+        """Exact local top-k given GLOBAL (term, qtf, global_df) weights."""
+        r = self.reader
+        docs_l, contribs_l = [], []
+        for t, qtf, gdf in terms_weights:
+            doc_ids, tf, dl = r.postings(t)
+            if doc_ids.size == 0:
+                continue
+            c = r._bm25_contrib(r._bm25_idf(gdf), tf, dl)
+            docs_l.append(doc_ids)
+            contribs_l.append(c if qtf == 1.0 else qtf * c)
+        if not docs_l:
+            return [], []
+        uniq, scores = r._accumulate(docs_l, contribs_l)
+        d, s = r._topk(uniq, scores, k)
+        return d.tolist(), s.tolist()
+
+
+class ShardedIndex:
+    """Driver-side handle: spawns one ShardSearcher per doc range and
+    answers global BM25 top-k by scatter/merge."""
+
+    def __init__(self, index_dir: str):
+        # a lightweight local reader only for manifest + analyzer
+        self._meta = IndexReader(index_dir)
+        drs = sorted({dr for v in self._meta._by_tp.values() for dr in v})
+        self.shards = [ShardSearcher.remote(index_dir, dr) for dr in drs]
+
+    def bm25_topk(self, keywords, k: int = 10
+                  ) -> tuple[np.ndarray, np.ndarray]:
+        m = self._meta
+        toks = m.analyze_query(keywords)
+        if not toks:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        uniq_terms = sorted(set(toks))
+        # global df = sum of shard-local dfs (A4 partial + final combine)
+        partials = ray.get([s.term_df.remote(uniq_terms) for s in self.shards])
+        gdf = {t: sum(p[t] for p in partials) for t in uniq_terms}
+        tw = [(t, float(toks.count(t)), gdf[t]) for t in uniq_terms if gdf[t]]
+        if not tw:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        outs = ray.get([s.bm25_local_topk.remote(tw, k) for s in self.shards])
+        docs = np.concatenate([np.asarray(d, np.int64) for d, _ in outs]) \
+            if outs else np.empty(0, np.int64)
+        scores = np.concatenate([np.asarray(s, np.float64) for _, s in outs]) \
+            if outs else np.empty(0, np.float64)
+        return m._topk(docs, scores, k)
+
+    def shutdown(self):
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

@@ -63,3 +63,58 @@ def test_edge_list_source(ray_session, tmp_path):
     out = read_edge_list(str(p)).to_pandas().sort_values(["src", "dst"])
     assert out["src"].tolist() == [1, 2, 3]
     assert out["dst"].tolist() == [2, 3, 1]
+
+
+def test_sharded_serving_rank_identity(ray_session, tmp_path):
+    """Doc-range-sharded actors + driver merge == single-reader BM25."""
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    from peterman_search_engine_ray.pipelines.serve import ShardedIndex
+    idx = str(tmp_path / "sharded")
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=4,  # 4 doc ranges
+                      block_size=8, positional=True)
+    build_index(synth_webpages(60), idx, cfg)
+    single = IndexReader(idx)
+    sharded = ShardedIndex(idx)
+    assert len(sharded.shards) == 4
+    try:
+        for q in [["grape"], ["grape", "honeydew"], ["peterman", "unique7"],
+                  ["apple", "banana", "cherry"], ["nosuch"]]:
+            for k in (1, 5, 20):
+                d1, s1 = single.bm25_topk(q, k)
+                d2, s2 = sharded.bm25_topk(q, k)
+                assert d1.tolist() == d2.tolist(), (q, k)
+                np.testing.assert_allclose(s1, s2, rtol=1e-12)
+    finally:
+        sharded.shutdown()
+
+
+def test_hot_term_skew_bounded_by_doc_ranges(ray_session, tmp_path):
+    """The north rule's skew valve: a term present in EVERY doc ends up
+    split across doc-range segments whose size is bounded by the range
+    width, and query-time concat reassembles the full sorted posting."""
+    import pyarrow as pa
+    import ray.data as rd
+    from peterman_search_engine_ray.corpus import _wrap_batch
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    n = 200
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array([f"hot hot hot filler{i}" for i in range(n)]),
+        "lang": pa.array(["en"] * n),
+    })
+    idx = str(tmp_path / "skew")
+    cfg = IndexConfig(num_term_partitions=2, doc_range_bits=5,  # 32-doc ranges
+                      block_size=8, positional=True)
+    build_index(rd.from_arrow(_wrap_batch(tbl)), idx, cfg)
+    r = IndexReader(idx)
+    segs = r.manifest["segments"]
+    assert len({s["dr"] for s in segs}) == (n + 31) // 32  # 7 doc ranges
+    # no segment holds more postings than one range can contain (2 terms/doc)
+    assert max(s["n_postings"] for s in segs) <= 32 * 2
+    docs, tf, dl = r.postings("hot")
+    assert docs.tolist() == list(range(n))          # sorted, complete
+    assert (tf == 3).all()
+    d, s = r.bm25_topk_pruned(["hot", "filler7"], 5)
+    assert d[0] == 7                                 # rare term dominates
