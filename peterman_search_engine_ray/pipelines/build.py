@@ -337,6 +337,12 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
                          "total_len": pa.array(tl, pa.int64())})
 
     frag_stats = tok.map_batches(scatter, batch_format="pyarrow").to_pandas()
+    if frag_stats.empty:                       # zero-row corpus
+        import pandas as _pd
+        frag_stats = _pd.DataFrame({c: _pd.Series(dtype="int64") for c in
+                                    ("part", "rows", "off", "len",
+                                     "n_docs", "total_len")}
+                                   | {"path": _pd.Series(dtype="object")})
     n_docs = int(frag_stats["n_docs"].sum())
     total_len = int(frag_stats["total_len"].sum())
     avgdl = (total_len / n_docs) if n_docs else 0.0

@@ -1,0 +1,80 @@
+"""Edge-case conformance: phrase semantics over the post-filter token
+stream (reference positional semantics), empty corpus, unicode, giant
+tokens — the reference crowd-test long tail."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from peterman_search_engine_ray.config import IndexConfig
+from peterman_search_engine_ray.functions.analysis import punctuation_tokenize
+
+
+def _build(ray_session, tmp_path, texts, **cfg_kw):
+    import ray.data as rd
+    from peterman_search_engine_ray.corpus import _wrap_batch
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+    })
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(num_term_partitions=2, doc_range_bits=62,
+                      block_size=4, positional=True, **cfg_kw)
+    build_index(rd.from_arrow(_wrap_batch(tbl)), idx, cfg)
+    return IndexReader(idx)
+
+
+def test_phrase_over_post_filter_stream(ray_session, tmp_path):
+    """Positions index the analyzer OUTPUT (stopwords removed, punctuation
+    split) — reference M8 semantics: a phrase 'matches across' dropped
+    stopwords and punctuation, but not across a real intervening word."""
+    r = _build(ray_session, tmp_path, [
+        "grape honeydew plain",              # 0: adjacent
+        "grape. honeydew",                   # 1: across sentence punctuation
+        "grape the honeydew",                # 2: across a dropped stopword
+        "grape tasty honeydew",              # 3: real word between — NO match
+        "honeydew grape",                    # 4: wrong order — NO match
+    ])
+    assert r.search_phrase(["grape", "honeydew"]).tolist() == [0, 1, 2]
+
+
+def test_empty_and_stopword_only_docs(ray_session, tmp_path):
+    r = _build(ray_session, tmp_path, ["", "the and of", "real content here"])
+    assert r.n_docs == 3                      # empty docs still count for N
+    assert r.search_keyword("content").tolist() == [2]
+    d, s = r.bm25_topk(["content"], 10)
+    assert d.tolist() == [2]
+
+
+def test_unicode_terms(ray_session, tmp_path):
+    r = _build(ray_session, tmp_path, ["café naïve résumé", "café only"])
+    assert punctuation_tokenize("Café!") == ["café"]
+    assert r.search_and(["café"]).tolist() == [0, 1]
+    assert r.search_and(["naïve"]).tolist() == [0]
+
+
+def test_high_tf_and_long_doc(ray_session, tmp_path):
+    """tf>block_size exercises multi-block posting positions."""
+    texts = ["spam " * 50 + "ham", "ham only here"]
+    r = _build(ray_session, tmp_path, texts)
+    docs, tf, dl = r.postings("spam")
+    assert docs.tolist() == [0] and tf.tolist() == [50]
+    plists = r.term_segments("spam")[0].positions("spam", docs, r.cfg.block_size)
+    assert plists[0].tolist() == list(range(50))
+    assert r.search_and(["ham"]).tolist() == [0, 1]
+
+
+def test_empty_corpus_build(ray_session, tmp_path):
+    import ray.data as rd
+    from peterman_search_engine_ray.corpus import _wrap_batch
+    from peterman_search_engine_ray.pipelines.build import build_index
+    tbl = pa.table({"doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string())})
+    idx = str(tmp_path / "empty")
+    m = build_index(rd.from_arrow(_wrap_batch(tbl)), idx,
+                    IndexConfig(num_term_partitions=2))
+    assert m["n_docs"] == 0 and m["segments"] == []
