@@ -120,6 +120,18 @@ def main() -> None:
         lat.append(time.perf_counter() - s)
     lat = np.array(lat)
 
+    def _mode_p50(fn, n=50):
+        ls = []
+        for q in queries[:n]:
+            s = time.perf_counter()
+            fn(q.split())
+            ls.append(time.perf_counter() - s)
+        return round(float(np.percentile(ls, 50)) * 1e3, 2)
+
+    and_p50 = _mode_p50(reader.search_and)
+    phrase_p50 = _mode_p50(lambda w: reader.search_phrase(w[:2]), 25)
+    tfidf_p50 = _mode_p50(lambda w: reader.tfidf_topk(w, 10))
+
     import ray.data as rd
     qds = rd.from_items([{"query_id": i, "query": q, "k": 10,
                           "mode": "bm25_auto"}
@@ -141,6 +153,9 @@ def main() -> None:
             "query_p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 2),
             "query_pool_500_sec": round(t_qpool, 2),
             "query_pool_qps": round(n_res / t_qpool, 1),
+            "and_p50_ms": and_p50,
+            "phrase_p50_ms": phrase_p50,
+            "tfidf_p50_ms": tfidf_p50,
         },
         "sf": sf_dir, "num_cpus": ncpu,
         "docs": n_docs, "replicate": replicate,
