@@ -287,6 +287,14 @@ class IndexReader:
             return np.empty(0, np.int64)
         if len(toks) == 1:
             return self.postings(toks[0])[0]
+        # selective phrases: the AND candidate set is cheap (cached postings);
+        # few candidates -> per-candidate position gather beats decoding a
+        # hot term's entire position stream
+        cand = self.search_and(toks)
+        if cand.size == 0:
+            return cand
+        if cand.size <= 512:
+            return self._search_phrase_slow(toks)
         anchors = None
         for j, t in enumerate(toks):
             parts = []
