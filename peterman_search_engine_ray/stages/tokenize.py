@@ -66,8 +66,8 @@ class ExtractTokenize:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         doc_ids = batch["doc_id"].to_numpy()
-        urls = (batch["url"].to_pylist() if "url" in batch.column_names
-                else [""] * n)
+        urls = (batch["url"] if "url" in batch.column_names
+                else pa.array([""] * n, pa.string()))
         if self.from_html and "html" in batch.column_names:
             texts = [extract_text(h) for h in batch["html"].to_pylist()]
         else:
@@ -76,47 +76,52 @@ class ExtractTokenize:
         analyze = self.analyzer
         positional = self.positional
 
-        out_terms: list[list[str]] = []
-        out_tfs: list[np.ndarray] = []
-        out_positions: list[list[np.ndarray]] = []
+        # Flat accumulation + ListArray.from_arrays: building nested
+        # pa.array(list-of-lists) was ~60% of this stage's CPU.
+        flat_terms: list[str] = []
+        flat_tfs: list[int] = []
+        term_offsets = np.zeros(n + 1, dtype=np.int32)
+        flat_pos: list[int] = []
+        pos_inner_off: list[int] = [0]
         doc_lens = np.zeros(n, dtype=np.int32)
 
         for i, text in enumerate(texts):
             toks = analyze(text or "")
             doc_lens[i] = len(toks)
+            pos_map: dict[str, list[int]] = {}
+            for p, t in enumerate(toks):
+                lst = pos_map.get(t)
+                if lst is None:
+                    pos_map[t] = [p]
+                else:
+                    lst.append(p)
+            terms = sorted(pos_map)
+            flat_terms.extend(terms)
+            term_offsets[i + 1] = term_offsets[i] + len(terms)
             if positional:
-                pos_map: dict[str, list[int]] = {}
-                for p, t in enumerate(toks):
-                    lst = pos_map.get(t)
-                    if lst is None:
-                        pos_map[t] = [p]
-                    else:
-                        lst.append(p)
-                terms = sorted(pos_map)
-                out_terms.append(terms)
-                out_tfs.append(np.fromiter((len(pos_map[t]) for t in terms),
-                                           dtype=np.int32, count=len(terms)))
-                out_positions.append([np.asarray(pos_map[t], dtype=np.int32)
-                                      for t in terms])
+                for t in terms:
+                    pl = pos_map[t]
+                    flat_tfs.append(len(pl))
+                    flat_pos.extend(pl)
+                    pos_inner_off.append(len(flat_pos))
             else:
-                cnt: dict[str, int] = {}
-                for t in toks:
-                    cnt[t] = cnt.get(t, 0) + 1
-                terms = sorted(cnt)
-                out_terms.append(terms)
-                out_tfs.append(np.fromiter((cnt[t] for t in terms),
-                                           dtype=np.int32, count=len(terms)))
+                flat_tfs.extend(len(pos_map[t]) for t in terms)
 
+        off = pa.array(term_offsets, pa.int32())
         cols = {
             "doc_id": pa.array(doc_ids, pa.int64()),
-            "url": pa.array(urls, pa.string()),
+            "url": urls,
             "doc_len": pa.array(doc_lens, pa.int32()),
-            "terms": pa.array(out_terms, pa.list_(pa.string())),
-            "tfs": pa.array(out_tfs, pa.list_(pa.int32())),
+            "terms": pa.ListArray.from_arrays(off, pa.array(flat_terms,
+                                                            pa.string())),
+            "tfs": pa.ListArray.from_arrays(
+                off, pa.array(np.asarray(flat_tfs, dtype=np.int32))),
         }
         if positional:
-            cols["positions"] = pa.array(out_positions,
-                                         pa.list_(pa.list_(pa.int32())))
+            inner = pa.ListArray.from_arrays(
+                pa.array(np.asarray(pos_inner_off, dtype=np.int32)),
+                pa.array(np.asarray(flat_pos, dtype=np.int32)))
+            cols["positions"] = pa.ListArray.from_arrays(off, inner)
         return pa.table(cols)
 
 
