@@ -118,3 +118,35 @@ def test_hot_term_skew_bounded_by_doc_ranges(ray_session, tmp_path):
     assert (tf == 3).all()
     d, s = r.bm25_topk_pruned(["hot", "filler7"], 5)
     assert d[0] == 7                                 # rare term dominates
+
+
+def test_query_executor_all_modes(ray_session, tmp_path):
+    """Actor-pool executor: every mode produces the same answers as the
+    direct reader calls."""
+    import ray.data as rd
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import (IndexReader,
+                                                            QueryExecutor)
+    idx = str(tmp_path / "qe")
+    build_index(synth_webpages(30), idx,
+                IndexConfig(num_term_partitions=2, doc_range_bits=62,
+                            block_size=8, positional=True))
+    r = IndexReader(idx)
+    modes = ["keyword", "and", "or", "phrase", "bm25", "bm25_pruned",
+             "bm25_auto", "tfidf"]
+    qds = rd.from_items([{"query_id": i, "query": "grape honeydew", "k": 5,
+                          "mode": m} for i, m in enumerate(modes)])
+    out = (qds.map_batches(QueryExecutor,
+                           fn_constructor_kwargs={"index_dir": idx},
+                           batch_format="pyarrow", concurrency=1)
+           .to_pandas().set_index("query_id"))
+    assert out.loc[0, "doc_ids"].tolist() == r.postings("grape")[0].tolist()
+    assert out.loc[1, "doc_ids"].tolist() == \
+        r.search_and(["grape", "honeydew"]).tolist()
+    assert out.loc[3, "doc_ids"].tolist() == \
+        r.search_phrase(["grape", "honeydew"]).tolist()
+    b = r.bm25_topk(["grape", "honeydew"], 5)[0].tolist()
+    for qid in (4, 5, 6):
+        assert out.loc[qid, "doc_ids"].tolist() == b, qid
+    assert out.loc[7, "doc_ids"].tolist() == \
+        r.tfidf_topk(["grape", "honeydew"], 5)[0].tolist()
