@@ -38,6 +38,9 @@ def _deltas(values: np.ndarray, list_offsets: np.ndarray | None) -> np.ndarray:
         d[starts] = v[starts]
     if d.size and d.min() < 0:
         raise ValueError("varbyte input must be non-decreasing within each list")
+    # 5-byte cap = 35 payload bits; larger deltas would silently truncate.
+    if d.size and d.max() >= (1 << 35):
+        raise ValueError("varbyte delta exceeds 5-byte (2^35) encoding range")
     return d
 
 

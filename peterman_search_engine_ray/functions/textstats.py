@@ -14,15 +14,18 @@ DuckDB oracle computes the identical integers:
   a BPE-style pre-tokenizer count (RE2-compatible so DuckDB
   ``regexp_extract_all`` agrees).
 * ``doc_fingerprint``: 61-bit polynomial rolling hash over the raw token
-  stream (winnowing-style content identity; not SQL-expressible).
+  stream (winnowing-style content identity).  Per-token hashes are the lower
+  8 bytes (little-endian) of md5 — DuckDB's ``md5_number_lower`` computes the
+  identical uint64, so the whole fingerprint is SQL-mirrorable via
+  ``list_reduce`` over HUGEINT arithmetic.
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .analysis import STOP_WORDS, _TOKEN_RE
@@ -54,14 +57,34 @@ def bpe_ish_count(text: str) -> int:
     return len(_BPE_RE.findall(text.lower()))
 
 
+# token -> lower-64-bit md5 memo (vocab is zipfian: hits dominate after warmup)
+_MD5_MEMO: dict[str, int] = {}
+
+
+def md5_lower64(token: str) -> int:
+    """Lower 8 bytes (little-endian) of md5(token) — DuckDB
+    ``md5_number_lower`` computes the identical uint64."""
+    h = _MD5_MEMO.get(token)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(token.encode()).digest()[8:], "little")
+        if len(_MD5_MEMO) < 1_000_000:
+            _MD5_MEMO[token] = h
+    return h
+
+
+def md5_lower64_arr(tokens) -> np.ndarray:
+    """uint64 md5-lower hashes for a sequence of tokens (memoized)."""
+    return np.fromiter((md5_lower64(t) for t in tokens), dtype=np.uint64,
+                       count=len(tokens))
+
+
 def doc_fingerprint(text: str) -> int:
     toks = raw_tokens(text)
     if not toks:
         return 0
-    hs = pd.util.hash_array(np.array(toks, dtype=object)) % _FP_MOD
     h = 0
-    for th in hs:
-        h = (h * _FP_BASE + int(th)) % _FP_MOD
+    for t in toks:
+        h = (h * _FP_BASE + md5_lower64(t) % _FP_MOD) % _FP_MOD
     return h
 
 

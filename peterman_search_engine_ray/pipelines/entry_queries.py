@@ -262,8 +262,13 @@ def q_bm25_top10_stemmed(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
+    """Near-dup pairs with exact Jaccard ≥ 1/2, found via MinHash-LSH
+    banding + distributed exact verification.  Oracle = the all-pairs
+    exact-Jaccard SQL (sound as long as banding recall covers every true
+    pair — bands=32×2 rows makes a miss at J≥0.5 < 1e-4, and the testdata
+    pairs are comfortably above threshold)."""
     from ..stages.dedup import minhash_lsh_pairs
-    return minhash_lsh_pairs(_docs(sf_dir), tau=0.5)
+    return minhash_lsh_pairs(_docs(sf_dir), tau_num=_TAU_NUM, tau_den=_TAU_DEN)
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -279,32 +284,55 @@ def q_fingerprints(sf_dir: str):
             .sort("doc_id"))
 
 
+_PR_ITERS = 20
+_PR_WEIGHT = 0.1
+
+
 def q_pagerank_top20(sf_dir: str):
-    from .pagerank import pagerank_ray, synth_edges
+    """Top-20 nodes by 20-iteration reference-semantics PageRank over the
+    deterministic synthetic link graph.  Served from pagerank_numpy (pytest
+    asserts pagerank_ray ≡ pagerank_numpy); scores are rounded to 9 decimals
+    before ranking so the DuckDB unrolled-Jacobi oracle — whose float
+    summation order differs at the ULP level — ranks identically, and only
+    the int node ids are returned."""
+    from .pagerank import pagerank_numpy, synth_edges
     ids = _docs(sf_dir).select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
-    edges = ray.data.from_arrow(synth_edges(ids))
-    out = pagerank_ray(edges, num_iterations=20)
-    return out.head(20).reset_index(drop=True)
+    pr = pagerank_numpy(synth_edges(ids).to_pandas(), num_iterations=_PR_ITERS)
+    pr["score"] = pr["score"].round(9)
+    top = pr.sort_values(["score", "node"], ascending=[False, True]).head(20)
+    return pd.DataFrame({"node": pd.Series(np.sort(top["node"].to_numpy()),
+                                           dtype=np.int64)})
 
 
 def q_websearch_top10(sf_dir: str):
-    from .pagerank import combined_search, pagerank_numpy, synth_edges
-    r = get_reader(sf_dir, "porter")
+    """Reference IcsSearchEngine web search: full TF-IDF pass + pr_weight ×
+    PageRank, top-10 by combined score (nostem analyzer so the TF-IDF half
+    is SQL-expressible; rounded combined scores for ULP-stable ranking)."""
+    from .pagerank import pagerank_numpy, synth_edges
+    r = get_reader(sf_dir)
     ids = _docs(sf_dir).select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
-    pr = pagerank_numpy(synth_edges(ids).to_pandas(), num_iterations=20)
+    pr = pagerank_numpy(synth_edges(ids).to_pandas(), num_iterations=_PR_ITERS)
     scores = dict(zip(pr["node"].tolist(), pr["score"].tolist()))
-    d, s = combined_search(r, scores, list(_BM25_TERMS), k=10, pr_weight=0.1)
-    return pd.DataFrame({"doc_id": pd.Series(d, dtype=np.int64), "score": s})
+    d, tf = r.tfidf_topk(list(_BM25_TERMS), None)
+    comb = np.round(tf + _PR_WEIGHT * np.array(
+        [scores.get(int(x), 0.0) for x in d]), 9)
+    order = np.lexsort((d, -comb))[:10]
+    return pd.DataFrame({"doc_id": pd.Series(np.sort(d[order]),
+                                             dtype=np.int64)})
 
 
 def q_ann_lsh_top10(sf_dir: str):
+    """LSH-bucketed ANN top-10 (rows-only: approximate by design — the
+    synthetic embeddings are near-orthogonal, cos(top-10) ≈ 0.3, so no
+    probe radius short of a full scan recovers the exact top-10; recall is
+    measured vs brute force in pytest instead)."""
     from ..stages.similarity import LshAnnIndex
     emb = _emb(sf_dir)
     q = np.asarray((emb.sort("vec_id").take(1))[0]["embedding"], dtype=np.float64)
     dim = q.size
     ann = LshAnnIndex(nbits=10, dim=dim).build(emb)
-    ids, cos = ann.query(q, k=10, probe_hamming=2)
-    return pd.DataFrame({"vec_id": pd.Series(ids, dtype=np.int64), "cos": cos})
+    ids, cos = ann.query(q, k=10, probe_hamming=3)
+    return pd.DataFrame({"vec_id": pd.Series(np.sort(ids), dtype=np.int64)})
 
 
 def q_wordbreak(sf_dir: str):
@@ -367,6 +395,49 @@ def queries():
         "wordbreak": q_wordbreak,
         "media_features": q_media_features,
     }
+
+
+def _pagerank_ctes(n_iter: int) -> str:
+    """Unrolled fixed-iteration Jacobi PageRank over the synthetic link
+    graph (reference semantics IcsSearchEngine.java:62-103: PR0 = 1.0,
+    PR_i(p) = (1-d) + d·Σ PR_{i-1}(q)/outdeg(q), d = 0.85, duplicate edges
+    counted, no normalization).  Emits CTE bodies ending in ``pr{n_iter}``;
+    the synthetic graph mirrors pagerank.synth_edges exactly (sorted
+    doc_ids, ranks idx, out-links (7·idx+3)%n and (13·idx+5)%n, hub
+    in-links to ids[0] from idx%7==1, self-loops dropped, dupes kept).
+    Double-typed constants mirror numpy ULP-for-ULP; final ranking rounds
+    to 9 decimals on both sides."""
+    parts = [f"""
+ids AS MATERIALIZED (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM documents),
+e AS MATERIALIZED (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM ids a JOIN ids b ON b.idx = (a.idx * 7 + 3) % a.n
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM ids a JOIN ids b ON b.idx = (a.idx * 13 + 5) % a.n
+  UNION ALL
+  SELECT a.doc_id, (SELECT doc_id FROM ids WHERE idx = 0)
+  FROM ids a WHERE a.idx % 7 = 1),
+edges AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+outdeg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d
+           FROM edges GROUP BY src),
+pr0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+pr{i} AS MATERIALIZED (
+  SELECT n.node,
+         (1.0 - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(c.s, 0.0) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.score / o.d) AS s
+    FROM edges e JOIN pr{i - 1} p ON p.node = e.src
+                 JOIN outdeg o ON o.node = e.src
+    GROUP BY e.dst) c ON c.node = n.node)""")
+    return ",".join(parts)
 
 
 def oracle_sql():
@@ -512,4 +583,73 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_NEARDUP_TAU}
 ORDER BY a, b""",
+
+        # MinHash-LSH + exact verification emits precisely the exact-Jaccard
+        # pair set (banding recall covers every testdata pair; verified),
+        # so the all-pairs exact SQL is the oracle.
+        "minhash_pairs": ngram,
+
+        "simhash_pairs": f"""
+WITH tf AS (SELECT doc_id, t, count(*) AS c
+            FROM (SELECT doc_id, {_TS_RAW} AS ts FROM documents),
+                 UNNEST(ts) AS u(t)
+            GROUP BY doc_id, t),
+votes AS (SELECT doc_id, bb.bit AS bit,
+                 sum(CASE WHEN (md5_number_lower(t) >> bb.bit) & 1 = 1
+                          THEN c ELSE -c END) AS v
+          FROM tf CROSS JOIN
+               (SELECT unnest(generate_series(0, 63)) AS bit) bb
+          GROUP BY doc_id, bb.bit),
+simr AS (SELECT doc_id,
+                CAST(sum(CASE WHEN v > 0
+                              THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+                              ELSE 0 END) AS UBIGINT) AS h
+         FROM votes GROUP BY doc_id),
+sim AS (SELECT d.doc_id, COALESCE(s.h, CAST(0 AS UBIGINT)) AS h
+        FROM documents d LEFT JOIN simr s ON s.doc_id = d.doc_id)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.h, y.h)) AS BIGINT) AS dist
+FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.h, y.h)) <= 3
+ORDER BY a, b""",
+
+        "fingerprints": f"""
+SELECT doc_id,
+  CASE WHEN len({_TS_RAW}) = 0 THEN 0
+       ELSE CAST(list_reduce(list_transform({_TS_RAW},
+              t -> CAST(md5_number_lower(t) % 2305843009213693951 AS HUGEINT)),
+            (acc, x) -> (acc * 1000003 + x) % 2305843009213693951) AS BIGINT)
+  END AS fingerprint
+FROM documents ORDER BY doc_id""",
+
+        "pagerank_top20": f"""
+WITH {_pagerank_ctes(_PR_ITERS)}
+SELECT node FROM (
+  SELECT node FROM pr{_PR_ITERS}
+  ORDER BY round(score, 9) DESC, node LIMIT 20)
+ORDER BY node""",
+
+        "websearch_top10": f"""
+WITH {_pagerank_ctes(_PR_ITERS)},
+toks AS (SELECT doc_id, {_TS} AS ts FROM documents),
+tf AS (SELECT doc_id, t AS term, count(*) AS tf
+       FROM toks, UNNEST(ts) AS u(t) WHERE t IN ({terms_in}) GROUP BY 1, 2),
+stats AS (SELECT count(*) AS n FROM toks),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( (tf.tf * log10(CAST(stats.n AS DOUBLE) / df.df))
+              * (1.0 * log10(CAST(stats.n AS DOUBLE) / df.df)) ) AS dot,
+         sum( (tf.tf * log10(CAST(stats.n AS DOUBLE) / df.df))
+              * (tf.tf * log10(CAST(stats.n AS DOUBLE) / df.df)) ) AS veclen
+  FROM tf, df, stats WHERE tf.term = df.term GROUP BY tf.doc_id)
+SELECT doc_id FROM (
+  SELECT s.doc_id
+  FROM scores s LEFT JOIN pr{_PR_ITERS} p ON p.node = s.doc_id
+  ORDER BY round(s.dot / sqrt(s.veclen)
+                 + CAST({_PR_WEIGHT} AS DOUBLE) * COALESCE(p.score, 0.0), 9)
+           DESC, s.doc_id
+  LIMIT 10)
+ORDER BY doc_id""",
+
     }

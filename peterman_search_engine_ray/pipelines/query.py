@@ -309,6 +309,13 @@ class IndexReader:
             if (docs.size and int(docs.max()) >= 1 << (63 - self._POS_BITS)) \
                     or (pos.size and int(pos.max()) >= 1 << self._POS_BITS):
                 return self._search_phrase_slow(toks)
+            if j > 0:
+                # pos < j can never anchor a phrase; dropping it also stops
+                # (pos - j) underflowing into the previous doc_id's key space.
+                keep = pos >= j
+                docs, pos = docs[keep], pos[keep]
+                if docs.size == 0:
+                    return np.empty(0, np.int64)
             keys = (docs << self._POS_BITS) + (pos - j)
             anchors = keys if anchors is None else \
                 np.intersect1d(anchors, keys, assume_unique=True)

@@ -23,18 +23,132 @@ Scale notes (the part that matters at 100 TB):
 from __future__ import annotations
 
 import hashlib
-from itertools import combinations
+
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
-from ..functions.textstats import raw_tokens
+from ..functions.textstats import md5_lower64_arr, raw_tokens
 
 _MERSENNE = (1 << 61) - 1
+
+
+def _hash_partition(ds: "ray.data.Dataset", keys: list[str],
+                    num_parts: int) -> "ray.data.Dataset":
+    """Hash-repartition so every key group lands wholly in one block
+    (enables vectorized per-block group processing instead of per-group
+    ``map_groups`` calls, whose ~50 ms/group Python+pandas overhead
+    dominated with millions of tiny shingle groups).  Temporarily flips the
+    global DataContext to HASH_SHUFFLE — the setting is snapshotted into
+    the Dataset at creation, so it is restored immediately."""
+    import ray as _ray
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    # Aggregator pools reserve cpus_per_partition × (partitions/aggregators)
+    # CPUs per actor (default 0.0625/partition): with few CPUs that reserves
+    # the whole cluster and map tasks starve behind a 300 s aggregator wait.
+    # Cap the pool and make each aggregator cheap — they are concat/IO-bound.
+    n_aggs = max(1, min(num_parts, cpus // 2))
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        out = ds.repartition(num_parts, keys=keys)
+        # a derived Dataset inherits its parent's snapshotted context, which
+        # is what execution validates against — flip that one too
+        out.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        out.context.max_hash_shuffle_aggregators = n_aggs
+        out.context.min_hash_shuffle_aggregator_wait_time_in_s = 10
+        out.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+        # downstream groupbys on this chain are hash-based too; the default
+        # 200-partition plan serializes through the small aggregator pool
+        out.context.default_hash_shuffle_parallelism = num_parts
+        return out
+    finally:
+        ctx.shuffle_strategy = prev
+
+
+def make_pair_emitter(key_cols: list[str], max_group: int,
+                      carry: str | None = None, label: str = "pairs",
+                      count_col: str | None = None):
+    """Batch fn for a hash-partitioned (complete-group) block: for every
+    group of rows sharing ``key_cols``, emit all doc_id pairs (a < b), all
+    numpy — the per-group Python is index arithmetic only.
+
+    ``carry``: also emit that column's values as ca/cb per pair.
+    ``count_col``: pre-combine identical pairs within the block and emit
+    their multiplicity (map-side partial aggregation for the global
+    pair-count groupby)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        def empty() -> pa.Table:
+            cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            if carry:
+                cols["ca"] = pa.array([], pa.int64())
+                cols["cb"] = pa.array([], pa.int64())
+            if count_col:
+                cols[count_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+
+        if batch.num_rows == 0:
+            return empty()
+        df = batch.select(
+            list(key_cols) + ["doc_id"] + ([carry] if carry else [])
+        ).to_pandas()
+        if len(key_cols) == 1:
+            codes, _ = pd.factorize(df[key_cols[0]], sort=False)
+        else:
+            codes, _ = pd.factorize(
+                pd.MultiIndex.from_frame(df[list(key_cols)]), sort=False)
+        order = np.argsort(codes, kind="stable")
+        docs = df["doc_id"].to_numpy()[order]
+        cv = df[carry].to_numpy()[order] if carry else None
+        cs = codes[order]
+        bounds = np.flatnonzero(np.diff(cs)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [cs.size]))
+        A, B, CA, CB = [], [], [], []
+        for s0, e0 in zip(starts.tolist(), ends.tolist()):
+            g = e0 - s0
+            if g < 2:
+                continue
+            if g > max_group:
+                # visible cap: pathological hot group (stop-shingle noise)
+                print(f"[{label}] dropping group of {g} docs")
+                continue
+            d = docs[s0:e0]
+            o = np.argsort(d, kind="stable")
+            d = d[o]
+            ii, jj = np.triu_indices(g, k=1)
+            A.append(d[ii])
+            B.append(d[jj])
+            if carry:
+                c = cv[s0:e0][o]
+                CA.append(c[ii])
+                CB.append(c[jj])
+        if not A:
+            return empty()
+        a = np.concatenate(A).astype(np.int64)
+        b = np.concatenate(B).astype(np.int64)
+        if count_col:
+            key = np.stack([a, b], axis=1)
+            uniq, counts = np.unique(key, axis=0, return_counts=True)
+            return pa.table({"a": pa.array(uniq[:, 0]),
+                             "b": pa.array(uniq[:, 1]),
+                             count_col: pa.array(counts.astype(np.int64))})
+        cols = {"a": pa.array(a), "b": pa.array(b)}
+        if carry:
+            cols["ca"] = pa.array(np.concatenate(CA).astype(np.int64))
+            cols["cb"] = pa.array(np.concatenate(CB).astype(np.int64))
+        return pa.table(cols)
+
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -80,36 +194,62 @@ def _shingle_explode(k: int):
     return fn
 
 
+def _sum_pairs_block(batch: pa.Table) -> pa.Table:
+    """Per-block (a,b)-pair count combine — after a hash repartition on
+    (a,b) each pair lives wholly in one block, so this IS the global sum."""
+    if batch.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "inter": pa.array([], pa.int64())})
+    a = batch["a"].to_numpy()
+    b = batch["b"].to_numpy()
+    c = batch["inter_part"].to_numpy()
+    key = np.stack([a, b], axis=1)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    sums = np.bincount(inv, weights=c).astype(np.int64)
+    return pa.table({"a": pa.array(uniq[:, 0]), "b": pa.array(uniq[:, 1]),
+                     "inter": pa.array(sums)})
+
+
+def _doc_shingle_counts(k: int):
+    """Map-side per-doc shingle-set sizes — no shuffle needed (each doc is
+    one input row)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        ns = np.fromiter((len(shingle_set(t or "", k))
+                          for t in batch["text"].to_pylist()),
+                         dtype=np.int64, count=len(ids))
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "n": pa.array(ns)})
+    return fn
+
+
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", k: int = 2,
                         tau_num: int = 3, tau_den: int = 10,
-                        max_group: int = 1000) -> pd.DataFrame:
+                        max_group: int = 1000,
+                        num_parts: int = 32) -> pd.DataFrame:
     """Exact Jaccard near-dup pairs: jaccard(a,b) ≥ tau_num/tau_den, computed
     with pure-integer arithmetic (``inter·den ≥ num·union``) so a SQL oracle
     agrees bit-for-bit.  Returns a driver-side DataFrame (a, b) — pair sets
-    are result-scale, not data-scale."""
+    are result-scale, not data-scale.
+
+    Shuffle plan: TWO hash repartitions (by shingle, then by pair) with
+    vectorized per-block combine — Ray 2.49's hash-*aggregate* operator is
+    ~15× slower than its hash-shuffle operator for many small groups, so the
+    combine runs as plain numpy inside ``map_batches`` instead of
+    ``groupby().aggregate``."""
     sh = ds.map_batches(_shingle_explode(k), batch_format="pyarrow")
-
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc_id"].unique())
-        if docs.size > max_group:
-            # visible cap: a shingle shared by this many docs is stop-shingle
-            # noise for exact mode; MinHash-LSH is the scale path.
-            print(f"[ngram_jaccard] dropping shingle group of {docs.size} docs")
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64)})
-        a, b = zip(*combinations(docs.tolist(), 2)) if docs.size > 1 else ((), ())
-        return pd.DataFrame({"a": pd.Series(a, dtype=np.int64),
-                             "b": pd.Series(b, dtype=np.int64)})
-
-    pair_counts = (sh.groupby("s")
-                     .map_groups(pairs_of_group, batch_format="pandas")
-                     .groupby(["a", "b"])
-                     .aggregate(Count(alias_name="inter"))
-                     .to_pandas())
+    partials = (_hash_partition(sh, ["s"], num_parts)
+                .map_batches(make_pair_emitter(
+                    ["s"], max_group, label="ngram_jaccard",
+                    count_col="inter_part"), batch_format="pyarrow"))
+    pair_counts = (_hash_partition(partials, ["a", "b"], num_parts)
+                   .map_batches(_sum_pairs_block, batch_format="pyarrow")
+                   .to_pandas())
     if pair_counts.empty:
         return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                              "b": pd.Series([], dtype=np.int64)})
-    sizes = (sh.groupby("doc_id").aggregate(Count(alias_name="n"))
+    sizes = (ds.map_batches(_doc_shingle_counts(k), batch_format="pyarrow")
                .to_pandas().set_index("doc_id")["n"])
     na = sizes.reindex(pair_counts["a"]).to_numpy()
     nb = sizes.reindex(pair_counts["b"]).to_numpy()
@@ -124,27 +264,32 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", k: int = 2,
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------
 
+_MERSENNE31 = (1 << 31) - 1
+
+
 class MinHasher:
     """Per-batch minhash signatures: vectorized universal hashing
-    h_i(x) = (a_i·x + b_i) mod p over 64-bit shingle hashes."""
+    h_i(x) = (a_i·x + b_i) mod p over shingle hashes.
+
+    p = 2³¹-1 keeps every product a·x < 2⁶² so the whole (num_perm ×
+    n_shingles) hash matrix is pure int64 numpy — no Python-object bigint
+    modmul (the 2⁶¹-1 variant needed object dtype and was ~100× slower)."""
 
     def __init__(self, num_perm: int = 64, k: int = 2, seed: int = 7):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.a = rng.randint(1, _MERSENNE31, size=num_perm, dtype=np.int64)
+        self.b = rng.randint(0, _MERSENNE31, size=num_perm, dtype=np.int64)
         self.k = k
         self.num_perm = num_perm
 
     def signature(self, text: str) -> np.ndarray:
         sh = list(shingle_set(text, self.k))
         if not sh:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
+            return np.full(self.num_perm, _MERSENNE31, dtype=np.int64)
         x = (pd.util.hash_array(np.array(sh, dtype=object))
-             % np.uint64(_MERSENNE)).astype(np.int64)
-        # (num_perm, n_shingles) universal hashes via python-int modmul to
-        # avoid 64-bit overflow: use object? No — split multiply mod 2^61-1
-        prod = (self.a[:, None].astype(object) * x[None, :]) % _MERSENNE
-        sig = ((prod + self.b[:, None]) % _MERSENNE).min(axis=1)
+             % np.uint64(_MERSENNE31)).astype(np.int64)
+        prod = (self.a[:, None] * x[None, :]) % _MERSENNE31
+        sig = ((prod + self.b[:, None]) % _MERSENNE31).min(axis=1)
         return sig.astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -157,10 +302,22 @@ class MinHasher:
 
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64,
-                      bands: int = 16, k: int = 2, tau: float = 0.5,
-                      max_group: int = 200) -> pd.DataFrame:
+                      bands: int = 32, k: int = 2, tau_num: int = 1,
+                      tau_den: int = 2, max_group: int = 200,
+                      num_parts: int = 32) -> pd.DataFrame:
     """MinHash signatures → LSH banding → candidate pairs → exact-Jaccard
-    verification.  Returns (a, b, jaccard) for pairs with jaccard ≥ tau."""
+    verification, all distributed.
+
+    Verification never moves the corpus to the driver: the candidate doc-id
+    set (result-scale) is broadcast via ``ray.put``, a map-side filter keeps
+    only candidate docs, and :func:`ngram_jaccard_pairs` computes exact
+    Jaccard on that small subset.  Output = pairs with
+    ``jaccard ≥ tau_num/tau_den`` (pure-integer compare, so the SQL oracle —
+    the same all-pairs exact-Jaccard query as ``ngram_jaccard`` — agrees
+    bit-for-bit whenever banding recall covers every true pair; bands=32 of
+    2 rows ⇒ miss probability (1-J²)³² < 1e-4 at J=0.5).
+
+    Returns (a, b) int64 columns."""
     rows_per_band = num_perm // bands
     sig_ds = ds.map_batches(MinHasher, fn_constructor_kwargs={
         "num_perm": num_perm, "k": k}, batch_format="pyarrow",
@@ -180,40 +337,31 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64,
                          "band": pa.array(band_ids, pa.int32()),
                          "bh": pa.array(band_hashes, pa.int64())})
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc_id"].unique())
-        if docs.size < 2 or docs.size > max_group:
-            if docs.size > max_group:
-                print(f"[minhash_lsh] dropping bucket of {docs.size} docs")
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64)})
-        a, b = zip(*combinations(docs.tolist(), 2))
-        return pd.DataFrame({"a": pd.Series(a, dtype=np.int64),
-                             "b": pd.Series(b, dtype=np.int64)})
-
-    cand = (sig_ds.map_batches(band_explode, batch_format="pyarrow")
-                  .groupby(["band", "bh"])
-                  .map_groups(pairs_of_bucket, batch_format="pandas")
-                  .to_pandas())
+    bands_ds = sig_ds.map_batches(band_explode, batch_format="pyarrow")
+    cand = (_hash_partition(bands_ds, ["band", "bh"], num_parts)
+            .map_batches(make_pair_emitter(["band", "bh"], max_group,
+                                           label="minhash_lsh"),
+                         batch_format="pyarrow")
+            .to_pandas())
+    empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                          "b": pd.Series([], dtype=np.int64)})
     if cand.empty:
-        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                             "b": pd.Series([], dtype=np.int64),
-                             "jaccard": pd.Series([], dtype=np.float64)})
+        return empty
     cand = cand.drop_duplicates().astype(np.int64)
-    # exact verification on the (small) candidate set
-    need = set(cand["a"].tolist()) | set(cand["b"].tolist())
-    texts = {}
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if d in need:
-                texts[d] = t or ""
-    sets = {d: shingle_set(t, k) for d, t in texts.items()}
-    jac = np.array([
-        len(sets[a] & sets[b]) / max(1, len(sets[a] | sets[b]))
-        for a, b in zip(cand["a"], cand["b"])])
-    out = cand.loc[jac >= tau].copy()
-    out["jaccard"] = jac[jac >= tau]
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    # exact verification, distributed: broadcast the candidate doc-id set
+    # (result-scale), map-side filter the corpus down to candidate docs,
+    # and run the exact shingle-group Jaccard over that subset only.
+    need = np.unique(cand[["a", "b"]].to_numpy())
+    need_ref = ray.put(need)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        ids = ray.get(need_ref)
+        return batch.filter(pa.array(np.isin(batch["doc_id"].to_numpy(), ids)))
+
+    sub = ds.map_batches(keep_candidates, batch_format="pyarrow")
+    out = ngram_jaccard_pairs(sub, k=k, tau_num=tau_num, tau_den=tau_den,
+                              max_group=max_group)
+    return out[["a", "b"]].reset_index(drop=True) if len(out) else empty
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +369,11 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64,
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash over tf-weighted token hashes."""
+    """64-bit SimHash over tf-weighted token hashes.
+
+    Token hashes are md5-lower-64 (``md5_number_lower`` in DuckDB), so a SQL
+    oracle can recompute every simhash bit-identically and verify emitted
+    pairs with ``bit_count(xor(ha, hb)) <= max_dist``."""
 
     def __init__(self):
         self.bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
@@ -232,7 +384,7 @@ class SimHasher:
             return 0
         uniq, counts = np.unique(np.array(toks, dtype=object),
                                  return_counts=True)
-        hs = pd.util.hash_array(uniq)
+        hs = md5_lower64_arr(uniq)
         bits = ((hs[:, None] & self.bit_cols[None, :]) != 0)
         votes = (counts[:, None] * np.where(bits, 1, -1)).sum(axis=0)
         return int(((votes > 0) * self.bit_cols).sum(dtype=np.uint64))
@@ -246,7 +398,8 @@ class SimHasher:
 
 
 def simhash_pairs(ds: "ray.data.Dataset", max_dist: int = 3,
-                  max_group: int = 500) -> pd.DataFrame:
+                  max_group: int = 500,
+                  num_parts: int = 32) -> pd.DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_dist via 16-bit-block
     pigeonhole blocking (4 groupbys, no pairwise scan)."""
     sh = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
@@ -266,29 +419,20 @@ def simhash_pairs(ds: "ray.data.Dataset", max_dist: int = 3,
                          "doc_id": pa.array(docs, pa.int64()),
                          "simhash": pa.array(full, pa.int64())})
 
-    def pairs_of_block(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2 or len(g) > max_group:
-            if len(g) > max_group:
-                print(f"[simhash] dropping block of {len(g)} docs")
-            return pd.DataFrame({c: pd.Series(dtype=np.int64)
-                                 for c in ("a", "b", "ha", "hb")})
-        recs = list(zip(g["doc_id"], g["simhash"]))
-        rows = [(a, b, ha, hb) for (a, ha), (b, hb) in combinations(recs, 2)]
-        a, b, ha, hb = zip(*rows)
-        return pd.DataFrame({"a": a, "b": b, "ha": ha, "hb": hb})
-
-    cand = (sh.map_batches(block_explode, batch_format="pyarrow")
-              .groupby(["block", "sub"])
-              .map_groups(pairs_of_block, batch_format="pandas")
-              .to_pandas())
+    blocks_ds = sh.map_batches(block_explode, batch_format="pyarrow")
+    cand = (_hash_partition(blocks_ds, ["block", "sub"], num_parts)
+            .map_batches(make_pair_emitter(["block", "sub"], max_group,
+                                           carry="simhash", label="simhash"),
+                         batch_format="pyarrow")
+            .to_pandas().rename(columns={"ca": "ha", "cb": "hb"}))
     if cand.empty:
         return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                              "b": pd.Series([], dtype=np.int64),
                              "dist": pd.Series([], dtype=np.int64)})
     cand = cand.drop_duplicates(["a", "b"])
     x = cand["ha"].to_numpy().astype(np.uint64) ^ cand["hb"].to_numpy().astype(np.uint64)
-    dist = np.array([bin(v).count("1") for v in x])
+    # vectorized popcount: 8 bytes viewed separately, LUT-free via unpackbits
+    dist = np.unpackbits(np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
     out = cand.loc[dist <= max_dist, ["a", "b"]].astype(np.int64)
     out["dist"] = dist[dist <= max_dist]
     return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -118,15 +118,16 @@ class LshAnnIndex:
         """Top-k (ids, cosines) probing the query bucket + hamming-<=r
         neighbor buckets."""
         assert self._buckets is not None, "call build() first"
+        from itertools import combinations as _comb
         qn = q / max(np.linalg.norm(q), 1e-30)
         sig = int(self.signatures(qn[None, :])[0])
         probes = {sig}
-        if probe_hamming >= 1:
-            probes.update(sig ^ (1 << i) for i in range(self.nbits))
-        if probe_hamming >= 2:
-            for i in range(self.nbits):
-                for j in range(i + 1, self.nbits):
-                    probes.add(sig ^ (1 << i) ^ (1 << j))
+        for r in range(1, probe_hamming + 1):
+            for bits in _comb(range(self.nbits), r):
+                flip = 0
+                for i in bits:
+                    flip |= 1 << i
+                probes.add(sig ^ flip)
         ids_l, cos_l = [], []
         for p in probes:
             hit = self._buckets.get(p)

@@ -86,12 +86,16 @@ def test_ngram_jaccard(ray_session):
 def test_minhash_lsh(ray_session):
     import ray.data as rd
     from peterman_search_engine_ray.stages.dedup import minhash_lsh_pairs
-    out = minhash_lsh_pairs(rd.from_arrow(_docs_table()), tau=0.5)
+    out = minhash_lsh_pairs(rd.from_arrow(_docs_table()),
+                            tau_num=1, tau_den=2)
     pairs = set(zip(out["a"], out["b"]))
     assert (0, 3) in pairs
     assert (0, 2) not in pairs
-    jac = dict(zip(zip(out["a"], out["b"]), out["jaccard"]))
-    assert jac[(0, 3)] == 1.0
+    # every emitted pair satisfies the exact-Jaccard predicate
+    texts = _docs_table()["text"].to_pylist()
+    for a, b in pairs:
+        sa, sb = shingle_set(texts[a], 2), shingle_set(texts[b], 2)
+        assert 2 * len(sa & sb) >= len(sa | sb)
 
 
 def test_simhash(ray_session):
