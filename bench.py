@@ -67,6 +67,11 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "160"))
+    # single-node benchmark → take the documented single-node opt-in: the
+    # scatter exchange on /dev/shm (memory bandwidth).  On a cluster the
+    # default (shared scatter_dir under index_dir, or PETERMAN_SHUFFLE=
+    # objstore for the pure object-store exchange) applies.
+    os.environ.setdefault("PETERMAN_SCATTER_TMPFS", "1")
 
     import numpy as np
     import ray

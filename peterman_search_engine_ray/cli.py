@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -52,7 +53,13 @@ def cmd_build(args) -> int:
                       doc_range_bits=args.doc_range_bits,
                       positional=not args.no_positions,
                       analyzer=args.analyzer)
-    manifest = build_index(ds, args.index, cfg, resume=not args.no_resume)
+    from .state import manifest as mf
+    token = sorted(mf.input_fingerprint(
+        [args.input] if os.path.isfile(args.input) else
+        [os.path.join(args.input, f) for f in sorted(os.listdir(args.input))
+         if f.endswith(".parquet")]).items())
+    manifest = build_index(ds, args.index, cfg, resume=not args.no_resume,
+                           input_token=token)
     print(json.dumps({k: manifest[k] for k in
                       ("n_docs", "avgdl", "timings", "n_resumed_segments")}
                      | {"n_segments": len(manifest["segments"])}))

@@ -232,18 +232,62 @@ def _manifest_row(*, part, tp, dr, seg, n_terms, n_postings, resumed):
     })
 
 
+def encode_parts_block(index_dir: str, cfg: IndexConfig,
+                       batch: pa.Table) -> pa.Table:
+    """Encode every (term_partition, doc_range) part present in a
+    hash-partitioned block (each part lives wholly in one block)."""
+    if batch.num_rows == 0:
+        return _manifest_row(part=-1, tp=-1, dr=-1, seg="", n_terms=0,
+                             n_postings=0, resumed=False).slice(0, 0)
+    part = batch["part"].to_numpy()
+    order = np.argsort(part, kind="stable")
+    b = batch.take(order)
+    part = part[order]
+    starts = np.flatnonzero(np.concatenate(([True], part[1:] != part[:-1])))
+    ends = np.append(starts[1:], part.size)
+    out = [encode_segment(index_dir, cfg, b.slice(s, e - s))
+           for s, e in zip(starts, ends)]
+    return pa.concat_tables(out)
+
+
 def build_index(corpus: "ray.data.Dataset", index_dir: str,
                 cfg: IndexConfig | None = None, *,
-                resume: bool = True) -> dict:
+                resume: bool = True, input_token=None,
+                shuffle: str | None = None) -> dict:
     """Run the full build; returns the global manifest dict.
 
     corpus: Dataset with (doc_id, html|text[, url, lang]).
-    Stages: extract+tokenize (actor pool) → forward-index parquet (checkpoint)
-    → doc-stats streaming aggregate → explode → groupby(part) shuffle →
-    vectorized per-segment encode (atomic write + lineage manifest).
+    Stages: extract+tokenize (warm-process tasks) → forward-index parquet
+    (checkpoint, side-written inside the pass) → explode →
+    hash-shuffle-by-part exchange → vectorized per-segment encode (atomic
+    write + lineage manifest) → doc stats from the checkpoint's pruned
+    ``doc_len`` column.
+
+    input_token: caller-supplied identity of the input corpus (e.g.
+    ``mf.input_fingerprint`` of the source files).  Folded into the
+    forward-index resume fingerprint so rebuilding into the same dir after
+    the corpus changed invalidates the checkpoint instead of silently
+    serving stale docs.
+
+    shuffle: exchange mode (``PETERMAN_SHUFFLE`` env, default
+    ``"scatter"``); both modes are multi-node-correct and hold no
+    per-part state on the driver:
+
+    * ``"scatter"`` (default) — classic map-side file shuffle: tasks
+      spill per-part-group lz4 Arrow IPC streams under ``scatter_dir``
+      and encode tasks discover theirs by directory listing.
+      scatter_dir defaults to shared storage under ``index_dir`` (every
+      node can read it on a real cluster); ``PETERMAN_SCATTER_TMPFS=1``
+      is a single-node opt-in that moves the exchange to /dev/shm
+      (memory bandwidth instead of disk — what bench.py uses).
+    * ``"objstore"`` — the exploded posting rows move through Ray
+      Data's hash-shuffle operator (object store exchange, spillable);
+      no filesystem assumption at all, ~3× slower single-node than the
+      tmpfs scatter (serialization + aggregator-actor overhead).
     """
     import time as _time
     cfg = cfg or IndexConfig()
+    shuffle = shuffle or os.environ.get("PETERMAN_SHUFFLE", "scatter")
     import ray as _ray
     ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
@@ -255,13 +299,9 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
 
     # ---- stage 1+2+3a: ONE streaming pass ----------------------------
     # corpus → tokenize (each task side-writes its forward-index parquet
-    # fragment: the checkpoint costs no extra barrier) → scatter (each task
-    # splits its exploded batch by `part` and appends per-part Arrow
-    # fragments, computing doc stats inline).  A file-scatter hash shuffle
-    # instead of a sort: we need grouping, not order — pure map side, no
-    # barrier, no global sort.  Fragments land on the store partitioned by
-    # key, which is also the multi-node story.
-    fwd_fp = {"cfg": _cfg_key(cfg)}
+    # fragment: the checkpoint costs no extra barrier) → explode →
+    # hash exchange → encode.
+    fwd_fp = {"cfg": _cfg_key(cfg), "input": input_token}
     fwd_m = mf.read_json(fwd_meta)
     resume_fwd = (resume and fwd_m and fwd_m.get("fingerprint") == fwd_fp
                   and os.path.isdir(fwd_dir))
@@ -282,118 +322,146 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
             # bounded upstream (corpus blocks + target_max_block_size).
         )
 
-    # scatter data is transient shuffle state (never part of the durable
-    # index): prefer tmpfs so the exchange doesn't contend with the
-    # checkpoint writes for disk bandwidth; on a cluster this would be the
-    # shuffle service / object store.
-    if os.environ.get("PETERMAN_SCATTER_TMPFS", "1") == "1" and os.path.isdir("/dev/shm"):
-        scatter_dir = os.path.join(
-            "/dev/shm", f"peterman_scatter_{os.path.basename(os.path.normpath(index_dir))}")
-    else:
-        scatter_dir = os.path.join(index_dir, "scatter")
-    _shutil.rmtree(scatter_dir, ignore_errors=True)
+    from ..stages.shuffle import hash_partition
     explode_fn = make_explode(cfg.num_term_partitions, cfg.doc_range_bits,
                               cfg.positional)
+    n_blocks = int(os.environ.get("PETERMAN_ENC_GROUPS", "0")) or max(4 * ncpu, 8)
+    enc_fn = partial(encode_parts_block, index_dir, cfg)
 
-    def scatter(batch: pa.Table) -> pa.Table:
-        # ONE spill file per task, each part's rows as an independent IPC
-        # stream at a recorded byte range — file count stays O(tasks), not
-        # O(tasks × parts) (a per-part-file layout melts the filesystem at
-        # thousands of parts).
-        n_docs_b = batch.num_rows
-        total_len_b = int(pc.sum(batch["doc_len"]).as_py() or 0)
-        ex = explode_fn(batch).combine_chunks()
-        part = ex["part"].to_numpy()
-        order = np.argsort(part, kind="stable")
-        ex = ex.take(order)
-        part = part[order]
-        starts = np.flatnonzero(np.concatenate(([True], part[1:] != part[:-1])))
-        ends = np.append(starts[1:], part.size)
-        import uuid
-        os.makedirs(scatter_dir, exist_ok=True)
-        path = os.path.join(scatter_dir, f"frag-{uuid.uuid4().hex[:12]}.arrow")
-        out_parts, out_rows, out_off, out_len = [], [], [], []
-        opts = pa.ipc.IpcWriteOptions(compression="lz4" if os.environ.get("PETERMAN_SCATTER_LZ4", "1") == "1" else None)
-        with pa.OSFile(path, "wb") as f:
+    if shuffle == "objstore":
+        # The exploded posting rows themselves go through Ray Data's hash
+        # shuffle: blocks move via the (spillable) object store, so the
+        # exchange is multi-node-correct by construction — no stage ever
+        # opens another node's local path, and the driver holds no
+        # fragment index at all.
+        ex = tok.map_batches(explode_fn, batch_format="pyarrow")
+        seg_stats = (hash_partition(ex, ["part"], n_blocks)
+                     .map_batches(enc_fn, batch_format="pyarrow")
+                     .to_pandas())
+        scatter_dir = None
+    elif shuffle == "scatter":
+        # File-exchange variant (classic map-side shuffle): each task
+        # splits its exploded batch by part GROUP (part % n_blocks) and
+        # appends one lz4 Arrow-IPC stream per group it touches; encode
+        # task g discovers its input by LISTING scatter_dir/g<g>/ — no
+        # fragment metadata exists anywhere, driver or exchange (the
+        # round-1 driver frag index was O(tasks × parts)).  File count is
+        # O(tasks × groups), groups = 2×cluster cores — the standard
+        # external-shuffle layout.
+        # scatter_dir must be reachable by every node: defaults to shared
+        # storage under index_dir; tmpfs (PETERMAN_SCATTER_TMPFS=1) is a
+        # single-node opt-in for memory-bandwidth exchange.
+        if (os.environ.get("PETERMAN_SCATTER_TMPFS", "0") == "1"
+                and os.path.isdir("/dev/shm")):
+            scatter_dir = os.path.join(
+                "/dev/shm",
+                f"peterman_scatter_{os.path.basename(os.path.normpath(index_dir))}")
+        else:
+            scatter_dir = os.path.join(index_dir, "scatter")
+        _shutil.rmtree(scatter_dir, ignore_errors=True)
+        for g in range(n_blocks):
+            os.makedirs(os.path.join(scatter_dir, f"g{g}"), exist_ok=True)
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            n_docs_b = batch.num_rows
+            total_len_b = int(pc.sum(batch["doc_len"]).as_py() or 0)
+            ex = explode_fn(batch).combine_chunks()
+            part = ex["part"].to_numpy()
+            group = part % n_blocks
+            order = np.argsort(group, kind="stable")
+            ex = ex.take(order)
+            group = group[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], group[1:] != group[:-1])))
+            ends = np.append(starts[1:], group.size)
+            import uuid
+            opts = pa.ipc.IpcWriteOptions(
+                compression="lz4"
+                if os.environ.get("PETERMAN_SCATTER_LZ4", "1") == "1"
+                else None)
+            uid = uuid.uuid4().hex[:12]
             for s, e in zip(starts, ends):
-                off = f.tell()
-                with pa.ipc.new_stream(f, ex.schema, options=opts) as w:
+                path = os.path.join(scatter_dir, f"g{int(group[s])}",
+                                    f"frag-{uid}.arrow")
+                with pa.OSFile(path, "wb") as f, \
+                        pa.ipc.new_stream(f, ex.schema, options=opts) as w:
                     w.write_table(ex.slice(s, e - s))
-                out_parts.append(int(part[s]))
-                out_rows.append(int(e - s))
-                out_off.append(off)
-                out_len.append(f.tell() - off)
-        if not out_parts:           # batch of empty docs still counts for N
-            out_parts, out_rows, out_off, out_len = [-1], [0], [0], [0]
-        n = len(out_parts)
-        nd = [n_docs_b] + [0] * (n - 1)
-        tl = [total_len_b] + [0] * (n - 1)
-        return pa.table({"part": pa.array(out_parts, pa.int64()),
-                         "rows": pa.array(out_rows, pa.int64()),
-                         "path": pa.array([path] * n, pa.string()),
-                         "off": pa.array(out_off, pa.int64()),
-                         "len": pa.array(out_len, pa.int64()),
-                         "n_docs": pa.array(nd, pa.int64()),
-                         "total_len": pa.array(tl, pa.int64())})
+            # one tiny stats row per batch — O(batches) driver state
+            return pa.table({"n_docs": pa.array([n_docs_b], pa.int64()),
+                             "total_len": pa.array([total_len_b], pa.int64())})
 
-    frag_stats = tok.map_batches(scatter, batch_format="pyarrow").to_pandas()
-    if frag_stats.empty:                       # zero-row corpus
-        import pandas as _pd
-        frag_stats = _pd.DataFrame({c: _pd.Series(dtype="int64") for c in
-                                    ("part", "rows", "off", "len",
-                                     "n_docs", "total_len")}
-                                   | {"path": _pd.Series(dtype="object")})
-    n_docs = int(frag_stats["n_docs"].sum())
-    total_len = int(frag_stats["total_len"].sum())
-    avgdl = (total_len / n_docs) if n_docs else 0.0
-    # largest parts first: the biggest (hot-term) partitions start in the
-    # first wave instead of straggling at the tail
-    part_sizes = (frag_stats.loc[frag_stats["part"] >= 0]
-                  .groupby("part")["rows"].sum().sort_values(ascending=False))
-    parts = part_sizes.index.tolist()
-    if not resume_fwd:
-        _shutil.rmtree(fwd_dir, ignore_errors=True)
-        os.replace(fwd_tmp, fwd_dir)
-        mf.atomic_write_json(fwd_meta, {"fingerprint": fwd_fp})
-    timings["tokenize_scatter"] = round(_time.perf_counter() - _t0, 3)
-    _t0 = _time.perf_counter()
+        stats = tok.map_batches(scatter, batch_format="pyarrow").to_pandas()
+        n_docs = int(stats["n_docs"].sum()) if len(stats) else 0
+        total_len = int(stats["total_len"].sum()) if len(stats) else 0
+        timings["tokenize_scatter"] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
 
-    import json as _json
-    frag_index = {
-        int(p): _json.dumps([[str(a), int(b), int(c)] for a, b, c in
-                             zip(g["path"], g["off"], g["len"])])
-        for p, g in frag_stats.loc[frag_stats["part"] >= 0].groupby("part")
-    }
+        def encode_group(batch: pa.Table) -> pa.Table:
+            out = []
+            for g in batch["group"].to_pylist():
+                gd = os.path.join(scatter_dir, f"g{g}")
+                tbls = []
+                for fname in sorted(os.listdir(gd)) if os.path.isdir(gd) else []:
+                    with pa.OSFile(os.path.join(gd, fname), "rb") as f:
+                        tbls.append(pa.ipc.open_stream(f).read_all())
+                if tbls:
+                    out.append(encode_parts_block(
+                        index_dir, cfg, pa.concat_tables(tbls)))
+            if not out:
+                return _manifest_row(part=-1, tp=-1, dr=-1, seg="",
+                                     n_terms=0, n_postings=0,
+                                     resumed=False).slice(0, 0)
+            return pa.concat_tables(out)
 
-    def encode_from_frags(batch: pa.Table) -> pa.Table:
-        import json
-        out = []
-        for p, frags in zip(batch["part"].to_pylist(),
-                            batch["frags"].to_pylist()):
-            tbls = []
-            for path, off, ln in json.loads(frags):
-                with pa.memory_map(path) as f:
-                    buf = f.read_buffer()
-                tbls.append(pa.ipc.open_stream(
-                    pa.BufferReader(buf.slice(off, ln))).read_all())
-            out.append(encode_segment(index_dir, cfg, pa.concat_tables(tbls)))
-        return pa.concat_tables(out)
-
-    if parts:
-        seg_stats = (ray.data.from_items(
-                        [{"part": int(p), "frags": frag_index[int(p)]}
-                         for p in parts])
-                     .repartition(len(parts))
-                     .map_batches(encode_from_frags, batch_format="pyarrow")
+        # largest group dirs first: biggest partitions start in the first
+        # wave instead of straggling at the tail
+        def _gsize(g: int) -> int:
+            gd = os.path.join(scatter_dir, f"g{g}")
+            return sum(os.path.getsize(os.path.join(gd, f))
+                       for f in os.listdir(gd)) if os.path.isdir(gd) else 0
+        groups = sorted(range(n_blocks), key=_gsize, reverse=True)
+        seg_stats = (ray.data.from_items([{"group": g} for g in groups])
+                     .repartition(n_blocks)
+                     .map_batches(encode_group, batch_format="pyarrow")
                      .to_pandas())
     else:
+        raise ValueError(f"unknown shuffle mode {shuffle!r}")
+
+    if seg_stats.empty:                        # zero-row corpus
         import pandas as _pd
         seg_stats = _pd.DataFrame({c: _pd.Series(dtype=t) for c, t in [
             ("part", "int64"), ("tp", "int64"), ("dr", "int64"),
             ("segment", "object"), ("n_terms", "int64"),
             ("n_postings", "int64"), ("resumed", "bool")]})
-    _shutil.rmtree(scatter_dir, ignore_errors=True)
+    if scatter_dir:
+        _shutil.rmtree(scatter_dir, ignore_errors=True)
+    if not resume_fwd:
+        _shutil.rmtree(fwd_dir, ignore_errors=True)
+        os.replace(fwd_tmp, fwd_dir)
+        mf.atomic_write_json(fwd_meta, {"fingerprint": fwd_fp})
     timings["shuffle_encode"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
+
+    if shuffle == "objstore":
+        # ---- doc stats from the checkpoint's pruned doc_len column ----
+        # (n_docs / avgdl for BM25; a column-pruned parquet scan, not a
+        # data pass — scatter mode counts these inline instead)
+        has_fwd = os.path.isdir(fwd_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(fwd_dir))
+        if has_fwd:
+            def _dl_stats(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "n": pa.array([b.num_rows], pa.int64()),
+                    "s": pa.array([int(pc.sum(b["doc_len"]).as_py() or 0)],
+                                  pa.int64())})
+            agg = (ray.data.read_parquet(fwd_dir, columns=["doc_len"])
+                   .map_batches(_dl_stats, batch_format="pyarrow").to_pandas())
+            n_docs = int(agg["n"].sum())
+            total_len = int(agg["s"].sum())
+        else:
+            n_docs = total_len = 0
+        timings["doc_stats"] = round(_time.perf_counter() - _t0, 3)
+    avgdl = (total_len / n_docs) if n_docs else 0.0
 
     manifest = {
         "timings": timings,

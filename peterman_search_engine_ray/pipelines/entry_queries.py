@@ -106,7 +106,9 @@ def get_reader(sf_dir: str, analyzer: str = "nostem"):
     idx = index_dir_for(sf_dir, analyzer)
     cfg = IndexConfig(num_term_partitions=8, doc_range_bits=12,
                       positional=True, analyzer=analyzer)
-    build_index(webpages_from_documents(sf_dir), idx, cfg)  # resumes if valid
+    docs = os.path.join(sf_dir, "documents.parquet")
+    build_index(webpages_from_documents(sf_dir), idx, cfg,
+                input_token=sorted(mf.input_fingerprint([docs]).items()))
     r = IndexReader(idx)
     _readers[key] = r
     return r

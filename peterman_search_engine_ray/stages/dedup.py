@@ -33,45 +33,9 @@ import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.textstats import md5_lower64_arr, raw_tokens
+from .shuffle import hash_partition as _hash_partition
 
 _MERSENNE = (1 << 61) - 1
-
-
-def _hash_partition(ds: "ray.data.Dataset", keys: list[str],
-                    num_parts: int) -> "ray.data.Dataset":
-    """Hash-repartition so every key group lands wholly in one block
-    (enables vectorized per-block group processing instead of per-group
-    ``map_groups`` calls, whose ~50 ms/group Python+pandas overhead
-    dominated with millions of tiny shingle groups).  Temporarily flips the
-    global DataContext to HASH_SHUFFLE — the setting is snapshotted into
-    the Dataset at creation, so it is restored immediately."""
-    import ray as _ray
-    from ray.data import DataContext
-    from ray.data.context import ShuffleStrategy
-    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
-        if _ray.is_initialized() else 8
-    # Aggregator pools reserve cpus_per_partition × (partitions/aggregators)
-    # CPUs per actor (default 0.0625/partition): with few CPUs that reserves
-    # the whole cluster and map tasks starve behind a 300 s aggregator wait.
-    # Cap the pool and make each aggregator cheap — they are concat/IO-bound.
-    n_aggs = max(1, min(num_parts, cpus // 2))
-    ctx = DataContext.get_current()
-    prev = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
-        out = ds.repartition(num_parts, keys=keys)
-        # a derived Dataset inherits its parent's snapshotted context, which
-        # is what execution validates against — flip that one too
-        out.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        out.context.max_hash_shuffle_aggregators = n_aggs
-        out.context.min_hash_shuffle_aggregator_wait_time_in_s = 10
-        out.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
-        # downstream groupbys on this chain are hash-based too; the default
-        # 200-partition plan serializes through the small aggregator pool
-        out.context.default_hash_shuffle_parallelism = num_parts
-        return out
-    finally:
-        ctx.shuffle_strategy = prev
 
 
 def make_pair_emitter(key_cols: list[str], max_group: int,

@@ -162,3 +162,48 @@ def test_naive_codec_index_identical(ray_session, tmp_path):
     np.testing.assert_allclose(s, s_o, rtol=1e-12)
     assert r.search_phrase(["grape", "honeydew"]).tolist() == \
         oracle.search_phrase(["grape", "honeydew"]).tolist()
+
+
+def test_shuffle_modes_identical_and_multinode_safe(built, ray_session,
+                                                    tmp_path_factory):
+    """Both exchange modes must (a) produce rank-identical query results and
+    (b) never rely on node-local paths by default: objstore moves data only
+    through the Ray object store, and scatter's default spill dir lives
+    under index_dir (shared storage on a real cluster), not /dev/shm."""
+    import os
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    reader, oracle, *_ , cfg = built
+    corpus_words = ["peterman", "grape"]
+
+    assert os.environ.get("PETERMAN_SCATTER_TMPFS", "0") != "1", \
+        "tests must run with the multi-node-safe default exchange"
+    results = {}
+    for mode in ("scatter", "objstore"):
+        idx = str(tmp_path_factory.mktemp(f"idx_{mode}"))
+        build_index(synth_webpages(N_DOCS), idx, cfg, shuffle=mode)
+        # default scatter dir is under index_dir, never node-local tmpfs
+        assert not os.path.isdir(
+            f"/dev/shm/peterman_scatter_{os.path.basename(idx)}")
+        r = IndexReader(idx)
+        d, s = r.bm25_topk_auto(corpus_words, 10)
+        results[mode] = (d.tolist(), [round(x, 9) for x in s.tolist()])
+        assert r.search_phrase(["unique1", "peterman"]).size >= 0
+    assert results["scatter"] == results["objstore"]
+
+
+def test_forward_resume_invalidated_by_input_change(ray_session,
+                                                    tmp_path_factory):
+    """Rebuilding into the same index dir after the corpus changed must NOT
+    reuse the stale forward checkpoint (input_token is folded into the
+    resume fingerprint)."""
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    idx = str(tmp_path_factory.mktemp("idx_fp"))
+    cfg = IndexConfig(num_term_partitions=2, doc_range_bits=6,
+                      block_size=8, positional=True)
+    build_index(synth_webpages(20), idx, cfg, input_token="corpus-v1")
+    assert IndexReader(idx).manifest["n_docs"] == 20
+    # same dir, changed corpus + changed token → fully rebuilt
+    build_index(synth_webpages(40), idx, cfg, input_token="corpus-v2")
+    assert IndexReader(idx).manifest["n_docs"] == 40
