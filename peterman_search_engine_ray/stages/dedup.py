@@ -10,12 +10,21 @@ Scale notes (the part that matters at 100 TB):
 * **n-gram Jaccard** is the *exact* verifier, quadratic in per-shingle group
   size — fine for tests/oracles, wrong tool at 100 TB (a "the quick brown"
   shingle shared by 10^8 docs would explode); at scale use **MinHash+LSH**:
-  per-doc signatures in ``map_batches`` (vectorized universal hashing),
-  explode to (band, band_hash) keys, one groupby emits candidate pairs whose
-  expected count is tuned by (bands, rows) — then exact-verify only the
-  candidates.
+  per-doc signatures in ``map_batches`` (vectorized int64 universal
+  hashing), explode to (band, band_hash) keys, hash-partition + vectorized
+  per-block pair emission, then exact-verify ONLY the candidates —
+  distributed, via a broadcast candidate id-set + map-side filter.
 * **SimHash** blocks by 16-bit sub-fingerprints (pigeonhole: hamming ≤ 3 →
-  some block equal) — 4 small groupbys instead of any pairwise work.
+  some block equal) — 4 bounded blocking keys instead of any pairwise work.
+* **Embedding near-dup**: exact mode is a block-nested-loop join over the
+  Dataset's own block refs (no driver materialization, no full-matrix
+  broadcast — the O(B²) matmul is inherent to exact all-pairs at low τ);
+  the high-τ scale path is banded hyperplane LSH + candidate-only verify.
+* Every pair emitter runs as hash-partition → vectorized per-block numpy
+  (``make_pair_emitter``) — Ray's per-group ``map_groups`` costs ~50 ms of
+  Python/pandas overhead per group and millions of tiny groups made that
+  the bottleneck.  The only driver-side frames are result- or
+  candidate-scale.
 * All pair emitters cap per-group fan-out (``max_group``) and LOG what was
   dropped — silent truncation is worse than a visible cap.
 """
@@ -406,34 +415,109 @@ def simhash_pairs(ds: "ray.data.Dataset", max_dist: int = 3,
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _block_to_mat(tbl: pa.Table, id_col: str, emb_col: str):
+    ids = tbl[id_col].to_numpy().astype(np.int64)
+    M = np.stack(tbl[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    return ids, M
+
+
 def embedding_neardup_pairs(emb_ds: "ray.data.Dataset", tau: float = 0.9,
                             id_col: str = "vec_id",
                             emb_col: str = "embedding") -> pd.DataFrame:
-    """Pairs with cosine ≥ tau.  The full embedding matrix is broadcast once
-    (``ray.put``) and each batch computes a (batch × all) cosine block — no
-    shuffle join; at 10^12-scale swap the broadcast side for LSH buckets
-    (see similarity.LshAnnIndex)."""
+    """EXACT pairs with cosine ≥ tau, as a block-nested-loop join over the
+    Dataset's own blocks: the driver holds only block ObjectRefs and the
+    result pairs — no ``to_pandas()`` of the table, no full-matrix
+    broadcast.  O(B²) tasks of one (block × block) matmul each; that
+    quadratic is inherent to exact all-pairs at low tau — for the high-tau
+    regime use :func:`embedding_neardup_lsh_pairs`, which blocks with
+    banded hyperplane LSH first."""
     import ray as _ray
-    all_tbl = emb_ds.select_columns([id_col, emb_col]).to_pandas()
-    ids = all_tbl[id_col].to_numpy()
-    M = np.stack(all_tbl[emb_col].to_numpy()).astype(np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-    ref = _ray.put((ids, M))
 
-    def block(batch: pa.Table) -> pa.Table:
-        bids = batch[id_col].to_numpy()
-        B = np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
-        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
-        aids, Mn = _ray.get(ref)
-        cos = B @ Mn.T
+    @_ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pd.DataFrame:
+        aid, A = _block_to_mat(ta, id_col, emb_col)
+        bid, B = _block_to_mat(tb, id_col, emb_col)
+        cos = A @ B.T
         ii, jj = np.nonzero(cos >= tau)
-        a = bids[ii]
-        b = aids[jj]
-        keep = a < b
-        return pa.table({"a": pa.array(a[keep], pa.int64()),
-                         "b": pa.array(b[keep], pa.int64())})
+        a, b = aid[ii], bid[jj]
+        if same:
+            keep = a < b            # each in-block pair appears twice
+            a, b = a[keep], b[keep]
+        else:
+            # each cross-block pair appears exactly once — canonicalize
+            a, b = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": a, "b": b})
 
-    out = (emb_ds.select_columns([id_col, emb_col])
-                 .map_batches(block, batch_format="pyarrow")
-                 .to_pandas())
+    refs = emb_ds.select_columns([id_col, emb_col]).to_arrow_refs()
+    futures = [block_pair.remote(refs[i], refs[j], i == j)
+               for i in range(len(refs)) for j in range(i, len(refs))]
+    outs = [o for o in _ray.get(futures) if len(o)]
+    if not outs:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64)})
+    out = pd.concat(outs, ignore_index=True).astype(np.int64)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def embedding_neardup_lsh_pairs(emb_ds: "ray.data.Dataset", tau: float = 0.9,
+                                r: int = 8, L: int = 16, seed: int = 13,
+                                id_col: str = "vec_id",
+                                emb_col: str = "embedding",
+                                max_group: int = 1000,
+                                num_parts: int = 32) -> pd.DataFrame:
+    """High-tau near-dup pairs via banded hyperplane LSH: L tables of r
+    hyperplane bits each; a pair is a candidate if it collides in ANY
+    table (recall 1-(1-p^r)^L with p = 1-θ/π — at tau=0.9, r=8, L=16 the
+    miss probability is < 1e-4).  Candidates come from the same
+    hash-partition + vectorized pair emitter as MinHash; exact cosine then
+    verifies only the candidate pairs (candidate-scale work)."""
+    import ray as _ray
+    rng = np.random.RandomState(seed)
+    dim = len((emb_ds.take(1))[0][emb_col])
+    planes = rng.normal(size=(L * r, dim))
+    planes_ref = _ray.put(planes)
+    weights = (1 << np.arange(r, dtype=np.int64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids, M = _block_to_mat(batch, id_col, emb_col)
+        bits = (M @ _ray.get(planes_ref).T) > 0       # (n, L*r)
+        buckets = bits.reshape(len(ids), L, r) @ weights
+        t_idx = np.tile(np.arange(L, dtype=np.int64), len(ids))
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, L)),
+            "t": pa.array(t_idx),
+            "bucket": pa.array(buckets.reshape(-1).astype(np.int64))})
+
+    rows = emb_ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow")
+    cand = (_hash_partition(rows, ["t", "bucket"], num_parts)
+            .map_batches(make_pair_emitter(["t", "bucket"], max_group,
+                                           label="emb_lsh"),
+                         batch_format="pyarrow")
+            .to_pandas())
+    empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                          "b": pd.Series([], dtype=np.int64)})
+    if cand.empty:
+        return empty
+    cand = cand.drop_duplicates().astype(np.int64)
+    # exact verify: gather only the candidate docs' vectors (candidate-scale)
+    need = np.unique(cand[["a", "b"]].to_numpy())
+    need_ref = _ray.put(need)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(
+            np.isin(batch[id_col].to_numpy(), _ray.get(need_ref))))
+
+    sub = (emb_ds.select_columns([id_col, emb_col])
+                 .map_batches(keep, batch_format="pyarrow").to_pandas())
+    ids = sub[id_col].to_numpy().astype(np.int64)
+    M = np.stack(sub[emb_col].to_numpy()).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    ai = np.array([pos[int(x)] for x in cand["a"]])
+    bi = np.array([pos[int(x)] for x in cand["b"]])
+    cos = np.einsum("ij,ij->i", M[ai], M[bi])
+    out = cand.loc[cos >= tau, ["a", "b"]]
+    return (out.sort_values(["a", "b"]).reset_index(drop=True)
+            if len(out) else empty)

@@ -73,16 +73,23 @@ def cosine_topk(emb_ds: "ray.data.Dataset", query_vecs: np.ndarray,
 class LshAnnIndex:
     """Random-hyperplane LSH ANN: nbits-bit signature → bucket.
 
-    Build: ``map_batches`` computes signatures; the bucketed table (id,
-    bucket, embedding) is written as parquet partitioned by bucket prefix so
-    query actors read only probed buckets.  Single-node tests keep the
-    bucketed table in memory."""
+    Build: one ``map_batches`` assigns bucket keys, then the table is
+    written as parquet PARTITIONED BY bucket (hive layout) — the driver
+    never materializes the embedding table.  Query reads only the probed
+    buckets' partitions (multi-probe over hamming-≤r neighbors for recall)
+    through a bounded per-process bucket cache."""
 
-    def __init__(self, nbits: int = 12, dim: int = 64, seed: int = 11):
+    _CACHE_MAX = 4096  # buckets held in memory per reader process
+
+    def __init__(self, nbits: int = 12, dim: int = 64, seed: int = 11,
+                 path: str | None = None):
         rng = np.random.RandomState(seed)
         self.planes = rng.normal(size=(nbits, dim))
         self.nbits = nbits
-        self._buckets: dict[int, tuple[np.ndarray, np.ndarray]] | None = None
+        self.path = path
+        self.id_col = "vec_id"
+        self.emb_col = "embedding"
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray] | None] = {}
 
     def signatures(self, M: np.ndarray) -> np.ndarray:
         bits = (M @ self.planes.T) > 0
@@ -90,7 +97,10 @@ class LshAnnIndex:
         return bits @ weights
 
     def build(self, emb_ds: "ray.data.Dataset", id_col="vec_id",
-              emb_col="embedding") -> "LshAnnIndex":
+              emb_col="embedding", path: str | None = None) -> "LshAnnIndex":
+        import tempfile
+        self.id_col, self.emb_col = id_col, emb_col
+        self.path = path or self.path or tempfile.mkdtemp(prefix="lsh_ann_")
         planes_ref = ray.put(self.planes)
         nbits = self.nbits
 
@@ -103,21 +113,36 @@ class LshAnnIndex:
                              "bucket": pa.array(bits @ weights, pa.int64()),
                              emb_col: batch[emb_col]})
 
-        tbl = (emb_ds.select_columns([id_col, emb_col])
-                     .map_batches(assign, batch_format="pyarrow")
-                     .to_pandas())
-        self._buckets = {}
-        for b, g in tbl.groupby("bucket"):
-            self._buckets[int(b)] = (
-                g[id_col].to_numpy(),
-                _norm_rows(np.stack(g[emb_col].to_numpy()).astype(np.float64)))
+        (emb_ds.select_columns([id_col, emb_col])
+               .map_batches(assign, batch_format="pyarrow")
+               .write_parquet(self.path, partition_cols=["bucket"]))
+        self._cache.clear()
         return self
+
+    def _load_bucket(self, b: int):
+        """Read ONE bucket's parquet partition (None if empty/absent)."""
+        if b in self._cache:
+            return self._cache[b]
+        import pyarrow.parquet as pq
+        d = os.path.join(self.path, f"bucket={b}")
+        hit = None
+        if os.path.isdir(d):
+            t = pq.read_table(d)
+            if t.num_rows:
+                hit = (t[self.id_col].to_numpy(),
+                       _norm_rows(np.stack(
+                           t[self.emb_col].to_numpy(zero_copy_only=False)
+                       ).astype(np.float64)))
+        if len(self._cache) >= self._CACHE_MAX:
+            self._cache.clear()
+        self._cache[b] = hit
+        return hit
 
     def query(self, q: np.ndarray, k: int = 10, probe_hamming: int = 1
               ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (ids, cosines) probing the query bucket + hamming-<=r
-        neighbor buckets."""
-        assert self._buckets is not None, "call build() first"
+        neighbor buckets — only those partitions are ever read."""
+        assert self.path is not None, "call build() first"
         from itertools import combinations as _comb
         qn = q / max(np.linalg.norm(q), 1e-30)
         sig = int(self.signatures(qn[None, :])[0])
@@ -130,7 +155,7 @@ class LshAnnIndex:
                 probes.add(sig ^ flip)
         ids_l, cos_l = [], []
         for p in probes:
-            hit = self._buckets.get(p)
+            hit = self._load_bucket(p)
             if hit is None:
                 continue
             ids_l.append(hit[0])

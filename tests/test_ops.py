@@ -122,6 +122,15 @@ def test_embedding_neardup_and_ann(ray_session):
     pairs = embedding_neardup_pairs(ds, tau=0.95)
     assert (10, 50) in set(zip(pairs["a"], pairs["b"]))
 
+    # LSH-banded variant finds the planted pair too (high-tau scale path),
+    # and every pair it emits satisfies the exact predicate
+    from peterman_search_engine_ray.stages.dedup import (
+        embedding_neardup_lsh_pairs)
+    lsh_pairs = embedding_neardup_lsh_pairs(ds, tau=0.95)
+    assert (10, 50) in set(zip(lsh_pairs["a"], lsh_pairs["b"]))
+    exact = set(zip(pairs["a"], pairs["b"]))
+    assert set(zip(lsh_pairs["a"], lsh_pairs["b"])) <= exact
+
     # brute-force oracle for top-k
     q = M[10].astype(np.float64)
     Mn = M.astype(np.float32).astype(np.float64)
