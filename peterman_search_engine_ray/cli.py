@@ -67,6 +67,27 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_extend(args) -> int:
+    ray = _ray_init(args.num_cpus)
+    import ray.data as rd
+    from .config import IndexConfig
+    from .corpus import _wrap_batch
+    from .pipelines.build import extend_index
+
+    ds = rd.read_parquet(args.input)
+    if "html" not in set(ds.schema().names):
+        ds = ds.map_batches(_wrap_batch, batch_format="pyarrow")
+    cfg = IndexConfig(num_term_partitions=args.partitions,
+                      doc_range_bits=args.doc_range_bits,
+                      positional=not args.no_positions,
+                      analyzer=args.analyzer)
+    manifest = extend_index(ds, args.index, cfg)
+    print(json.dumps({k: manifest[k] for k in ("n_docs", "avgdl", "timings")}
+                     | {"n_segments": len(manifest["segments"])}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args) -> int:
     from .pipelines.query import IndexReader
     r = IndexReader(args.index)
@@ -128,6 +149,17 @@ def main(argv=None) -> int:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--num-cpus", type=int, default=None)
     b.set_defaults(fn=cmd_build)
+
+    e = sub.add_parser("extend")
+    e.add_argument("--input", required=True)
+    e.add_argument("--index", required=True)
+    e.add_argument("--analyzer", default="porter",
+                   choices=["porter", "nostem", "naive"])
+    e.add_argument("--partitions", type=int, default=64)
+    e.add_argument("--doc-range-bits", type=int, default=20)
+    e.add_argument("--no-positions", action="store_true")
+    e.add_argument("--num-cpus", type=int, default=None)
+    e.set_defaults(fn=cmd_extend)
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)

@@ -294,6 +294,8 @@ class Analyzer:
     the reference stems every token occurrence from scratch.
     """
 
+    kind: str | None = None   # set by get_analyzer for the frozen built-ins
+
     def __init__(self, tokenizer: Callable[[str], list[str]] = punctuation_tokenize,
                  stem: bool = True):
         self._tokenize = tokenizer
@@ -320,11 +322,18 @@ class Analyzer:
 
 
 def get_analyzer(name: str) -> Analyzer:
-    """Analyzer registry; names used in IndexConfig.analyzer."""
+    """Analyzer registry; names used in IndexConfig.analyzer.
+
+    ``kind`` tags the frozen built-ins so batch stages can take the
+    vectorized Arrow path (stages/tokenize.py) with identical semantics;
+    unknown/custom analyzers fall back to the per-doc loop."""
     if name == "porter":
-        return Analyzer(punctuation_tokenize, stem=True)
-    if name == "nostem":
-        return Analyzer(punctuation_tokenize, stem=False)
-    if name == "naive":
-        return Analyzer(naive_tokenize, stem=False)
-    raise ValueError(f"unknown analyzer: {name!r}")
+        a = Analyzer(punctuation_tokenize, stem=True)
+    elif name == "nostem":
+        a = Analyzer(punctuation_tokenize, stem=False)
+    elif name == "naive":
+        a = Analyzer(naive_tokenize, stem=False)
+    else:
+        raise ValueError(f"unknown analyzer: {name!r}")
+    a.kind = name
+    return a

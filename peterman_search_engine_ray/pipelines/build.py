@@ -45,16 +45,33 @@ from ..stages.tokenize import ExtractTokenize, make_explode
 from ..state import manifest as mf
 
 
-def _make_tokenize_sidewrite(analyzer: str, positional: bool, out_dir: str):
-    """Tokenize fn that also writes its forward-index parquet fragment —
+def _make_tokenize_sidewrite(analyzer: str, positional: bool, out_dir: str,
+                             range_bits: int, prefix: str = "fwd"):
+    """Tokenize fn that also writes its forward-index parquet fragments —
     the durability checkpoint rides inside the streaming pass instead of
-    costing a separate consume + re-read."""
+    costing a separate consume + re-read.
+
+    Fragments are partitioned by doc range (``r=<doc_id >> range_bits>/``
+    subdirs — the same ranges the segments use), so point lookups
+    (IndexReader.get_docs) and incremental extension read only the matching
+    range partitions instead of scanning the whole forward dataset
+    (reference point-get: MapdbDocStore.java:106-131)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         t = ExtractTokenize(analyzer, positional)(batch)
         import uuid
-        pq.write_table(t, os.path.join(out_dir,
-                                       f"fwd-{uuid.uuid4().hex[:12]}.parquet"))
+        uid = uuid.uuid4().hex[:12]
+        rng = t["doc_id"].to_numpy() >> range_bits
+        order = np.argsort(rng, kind="stable")
+        ts = t.take(order)
+        rs = rng[order]
+        starts = np.flatnonzero(np.concatenate(([True], rs[1:] != rs[:-1])))
+        ends = np.append(starts[1:], rs.size)
+        for s, e in zip(starts, ends):
+            d = os.path.join(out_dir, f"r={int(rs[s])}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(ts.slice(s, e - s),
+                           os.path.join(d, f"{prefix}-{uid}.parquet"))
         return t
 
     return fn
@@ -64,7 +81,7 @@ _SECTIONS = ("postings", "tf", "dl", "block_last", "block_end",
              "block_max_tf", "block_min_dl", "pos", "pos_offsets")
 
 
-LAYOUT_VERSION = 2  # bump on any on-disk format change to invalidate resumes
+LAYOUT_VERSION = 3  # bump on any on-disk format change to invalidate resumes
 
 
 def _cfg_key(cfg: IndexConfig) -> dict:
@@ -314,7 +331,8 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
         _shutil.rmtree(fwd_tmp, ignore_errors=True)
         os.makedirs(fwd_tmp, exist_ok=True)
         tok = corpus.map_batches(
-            _make_tokenize_sidewrite(cfg.analyzer, cfg.positional, fwd_tmp),
+            _make_tokenize_sidewrite(cfg.analyzer, cfg.positional, fwd_tmp,
+                                     cfg.doc_range_bits),
             batch_format="pyarrow",
             # batch_size=None → whole-block batches: slicing blocks into
             # fixed batches forces cross-block coalescing that serializes
@@ -325,7 +343,11 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
     from ..stages.shuffle import hash_partition
     explode_fn = make_explode(cfg.num_term_partitions, cfg.doc_range_bits,
                               cfg.positional)
-    n_blocks = int(os.environ.get("PETERMAN_ENC_GROUPS", "0")) or max(4 * ncpu, 8)
+    # FIXED group count (not CPU-derived): the scatter stage writes one IPC
+    # stream per (task, group) and encode runs one task per group, so the
+    # plan must be identical across parallelism levels for scaling runs to
+    # compare the same job (and for resume to match).
+    n_blocks = int(os.environ.get("PETERMAN_ENC_GROUPS", "0")) or 128
     enc_fn = partial(encode_parts_block, index_dir, cfg)
 
     if shuffle == "objstore":
@@ -447,7 +469,8 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
         # (n_docs / avgdl for BM25; a column-pruned parquet scan, not a
         # data pass — scatter mode counts these inline instead)
         has_fwd = os.path.isdir(fwd_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(fwd_dir))
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(fwd_dir) for f in fs)
         if has_fwd:
             def _dl_stats(b: pa.Table) -> pa.Table:
                 return pa.table({
@@ -475,3 +498,129 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
     }
     mf.atomic_write_json(manifest_path, manifest)
     return manifest
+
+
+def extend_index(corpus_new: "ray.data.Dataset", index_dir: str,
+                 cfg: IndexConfig | None = None) -> dict:
+    """Append new documents to an existing index WITHOUT rebuilding
+    untouched segments — the realistic 100 TB operation (daily crawl
+    increments; reference merge semantics InvertedIndexManager.java:845-953,
+    Team12MergeTest.java:38-70).
+
+    New doc_ids must be disjoint from the existing corpus's.  Only the
+    (term_partition, doc_range) parts that receive new postings are
+    re-encoded; a part whose doc range already holds old documents is
+    rebuilt from old+new rows — the old rows come from the forward store's
+    matching ``r=<range>`` partitions (partition-pruned read, never a full
+    scan), re-exploded through the same path the build used, so the
+    resulting segment is byte-identical to what ``build_index(A ∪ B)``
+    writes.  Global BM25 stats (n_docs, avgdl) are recomputed from the
+    forward store's pruned doc_len column.
+
+    Not crash-resumable mid-extension: re-run ``build_index`` with
+    ``resume=True`` to reconverge after a failure.
+    """
+    import time as _time
+    import uuid as _uuid
+    cfg = cfg or IndexConfig()
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    m = mf.read_json(manifest_path)
+    if not m:
+        raise FileNotFoundError(f"no index manifest in {index_dir}")
+    if m["cfg"] != _cfg_key(cfg):
+        raise ValueError("extend_index cfg does not match the existing index")
+    import ray as _ray
+    from ..stages.shuffle import hash_partition
+    timings: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+    fwd_dir = os.path.join(index_dir, "forward")
+    gen = f"ext{_uuid.uuid4().hex[:8]}"
+    P = cfg.num_term_partitions
+    explode_fn = make_explode(P, cfg.doc_range_bits, cfg.positional)
+    n_blocks = int(os.environ.get("PETERMAN_ENC_GROUPS", "0")) or 128
+
+    tok = corpus_new.map_batches(
+        _make_tokenize_sidewrite(cfg.analyzer, cfg.positional, fwd_dir,
+                                 cfg.doc_range_bits, prefix=gen),
+        batch_format="pyarrow")
+    ex = tok.map_batches(explode_fn, batch_format="pyarrow")
+
+    def encode_ext(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _manifest_row(part=-1, tp=-1, dr=-1, seg="", n_terms=0,
+                                 n_postings=0, resumed=False).slice(0, 0)
+        part = batch["part"].to_numpy()
+        order = np.argsort(part, kind="stable")
+        b = batch.take(order)
+        part = part[order]
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                part[1:] != part[:-1])))
+        ends = np.append(starts[1:], part.size)
+        out = []
+        old_range_cache: dict[int, pa.Table | None] = {}
+        for s, e in zip(starts, ends):
+            p = int(part[s])
+            dr = p // P
+            old = old_range_cache.get(dr, False)
+            if old is False:
+                d = os.path.join(fwd_dir, f"r={dr}")
+                olds = []
+                if os.path.isdir(d):
+                    for fname in sorted(os.listdir(d)):
+                        # this generation's fragments are the NEW docs —
+                        # everything else is the pre-existing corpus
+                        if fname.endswith(".parquet") and \
+                                not fname.startswith(f"{gen}-"):
+                            olds.append(pq.read_table(os.path.join(d, fname)))
+                old = (explode_fn(pa.concat_tables(olds))
+                       if olds else None)
+                old_range_cache[dr] = old
+            group = b.slice(s, e - s)
+            if old is not None:
+                keep = pc.equal(old["part"], p)
+                old_rows = old.filter(keep)
+                if old_rows.num_rows:
+                    group = pa.concat_tables(
+                        [old_rows, group.select(old_rows.column_names)])
+            out.append(encode_segment(index_dir, cfg, group))
+        return pa.concat_tables(out)
+
+    seg_stats = (hash_partition(ex, ["part"], n_blocks)
+                 .map_batches(encode_ext, batch_format="pyarrow")
+                 .to_pandas())
+    timings["extend_encode"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
+
+    def _dl_stats(bt: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([bt.num_rows], pa.int64()),
+            "s": pa.array([int(pc.sum(bt["doc_len"]).as_py() or 0)],
+                          pa.int64())})
+    agg = (ray.data.read_parquet(fwd_dir, columns=["doc_len"])
+           .map_batches(_dl_stats, batch_format="pyarrow").to_pandas())
+    n_docs = int(agg["n"].sum())
+    total_len = int(agg["s"].sum())
+    timings["doc_stats"] = round(_time.perf_counter() - _t0, 3)
+
+    # the forward checkpoint no longer corresponds to any single build
+    # input — stamp it with this extension's generation so a later
+    # build_index(resume=True) of the ORIGINAL corpus can't reuse it
+    mf.atomic_write_json(os.path.join(index_dir, "forward.manifest.json"),
+                         {"fingerprint": {"cfg": _cfg_key(cfg),
+                                          "input": f"extended-{gen}"}})
+
+    by_part = {int(r["part"]): r for r in m["segments"]}
+    if len(seg_stats):
+        for r in seg_stats.drop(columns=["resumed"]).to_dict("records"):
+            if r["part"] >= 0:
+                by_part[int(r["part"])] = r
+    m.update({
+        "timings": {**m.get("timings", {}), **timings},
+        "n_docs": n_docs,
+        "total_len": total_len,
+        "avgdl": (total_len / n_docs) if n_docs else 0.0,
+        "segments": [by_part[k] for k in sorted(by_part)],
+        "n_resumed_segments": 0,
+    })
+    mf.atomic_write_json(manifest_path, m)
+    return m

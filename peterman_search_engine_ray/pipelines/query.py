@@ -642,12 +642,26 @@ class IndexReader:
 
     # -- doc store lookup (J4) ---------------------------------------------
     def get_docs(self, doc_ids: np.ndarray) -> pd.DataFrame:
-        """Fetch forward-index rows for result doc_ids (hash join of the
-        small result side against the forward parquet)."""
+        """Fetch forward-index rows for result doc_ids.  The forward store
+        is partitioned by doc range (``r=<doc_id >> bits>/``), so only the
+        partitions containing requested ids are opened — a point-get, not a
+        dataset scan (reference MapdbDocStore.getDocument,
+        MapdbDocStore.java:106-131)."""
         import pyarrow.dataset as pads
-        dset = pads.dataset(os.path.join(self.index_dir, "forward"))
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        fwd = os.path.join(self.index_dir, "forward")
+        bits = int(self.manifest["cfg"]["doc_range_bits"])
+        files = [os.path.join(d, f)
+                 for r in np.unique(ids >> bits)
+                 if os.path.isdir(d := os.path.join(fwd, f"r={int(r)}"))
+                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        if not files:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "url": pd.Series(dtype=object),
+                                 "doc_len": pd.Series(dtype=np.int32)})
+        dset = pads.dataset(files)
         tbl = dset.to_table(columns=["doc_id", "url", "doc_len"],
-                            filter=pads.field("doc_id").isin(doc_ids.tolist()))
+                            filter=pads.field("doc_id").isin(ids.tolist()))
         return tbl.to_pandas()
 
 

@@ -49,12 +49,104 @@ def _cached_analyzer(name: str):
     return a
 
 
+# Separator runs for the punctuation tokenizer — RE2 syntax, identical
+# semantics to analysis._TOKEN_RE's findall (split on runs, drop empties);
+# RE2/Python-re agreement on this class is conformance-tested.
+_SEP_PATTERN = "[ \t\n\r,.;?!]+"
+
+
+def _vector_tokenize(texts: list, stem: bool, cache: dict,
+                     positional: bool):
+    """Vectorized punctuation-analyzer batch: RE2 split + Arrow stopword
+    filter + dictionary-encoded stemming (Porter runs once per UNIQUE
+    batch token, memoized across batches) + numpy group arithmetic for
+    per-(doc, term) tf and positions.  Returns the same flat structure the
+    per-doc loop built; the only per-token Python left is the unique-token
+    stem loop."""
+    from ..functions.analysis import STOP_WORDS, porter_stem
+    n_docs = len(texts)
+    arr = pa.array([("" if t is None else t).lower() for t in texts],
+                   pa.string())
+    toks = pc.split_pattern_regex(arr, _SEP_PATTERN)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    didx = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.and_(pc.not_equal(flat, ""),
+                   pc.invert(pc.is_in(flat,
+                                      value_set=_stop_value_set())))
+    keepnp = keep.to_numpy(zero_copy_only=False)
+    flat_f = flat.filter(keep)
+    d = didx[keepnp]
+    n = d.size
+    doc_lens = np.zeros(n_docs, dtype=np.int32)
+    if n == 0:
+        return (doc_lens, np.zeros(n_docs + 1, np.int32), [],
+                np.empty(0, np.int32), np.empty(0, np.int32),
+                np.zeros(1, np.int32))
+    denc = pc.dictionary_encode(flat_f)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = np.asarray(denc.indices)
+    dict_strings = denc.dictionary.to_pylist()
+    if stem:
+        stemmed = []
+        for t in dict_strings:
+            s = cache.get(t)
+            if s is None:
+                s = porter_stem(t)
+                cache[t] = s
+            stemmed.append(s)
+        if len(cache) > 2_000_000:
+            cache.clear()
+    else:
+        stemmed = dict_strings
+    stemmed_arr = np.asarray(stemmed, dtype=object)
+    uniq_sorted = np.unique(stemmed_arr)
+    rank_of_code = np.searchsorted(uniq_sorted, stemmed_arr)
+    term_rank = rank_of_code[codes]
+    # post-filter position per token within its doc (analyzer-output stream)
+    doc_starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+    doc_counts = np.diff(np.append(doc_starts, n)).astype(np.int64)
+    pos = np.arange(n, dtype=np.int64) - np.repeat(doc_starts, doc_counts)
+    doc_lens[d[doc_starts]] = doc_counts.astype(np.int32)
+    # group by (doc, term-rank); positions stay ascending within each group
+    order = np.lexsort((pos, term_rank, d))
+    d2, r2, p2 = d[order], term_rank[order], pos[order]
+    gb = np.concatenate(([True], (d2[1:] != d2[:-1]) | (r2[1:] != r2[:-1])))
+    gstart = np.flatnonzero(gb)
+    gcount = np.diff(np.append(gstart, n)).astype(np.int64)
+    gdoc = d2[gstart]
+    flat_terms = uniq_sorted[r2[gstart]].tolist()
+    term_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(np.bincount(gdoc, minlength=n_docs), out=term_offsets[1:])
+    pos_inner_off = np.zeros(gcount.size + 1, dtype=np.int64)
+    np.cumsum(gcount, out=pos_inner_off[1:])
+    return (doc_lens, term_offsets.astype(np.int32), flat_terms,
+            gcount.astype(np.int32), p2.astype(np.int32),
+            pos_inner_off.astype(np.int32))
+
+
+_STOP_SET_ARR = None
+
+
+def _stop_value_set():
+    global _STOP_SET_ARR
+    if _STOP_SET_ARR is None:
+        from ..functions.analysis import STOP_WORDS
+        _STOP_SET_ARR = pa.array(sorted(STOP_WORDS), pa.string())
+    return _STOP_SET_ARR
+
+
 class ExtractTokenize:
     """html→text→tokens in one fused pass (project early: html is dropped
     immediately; the fat binary column never crosses another stage boundary).
 
     Usable as an actor-pool class OR, via :func:`make_extract_tokenize`, as a
     plain task function (preferred for the cheap Porter chain).
+
+    The frozen punctuation analyzers (porter/nostem) take a fully
+    vectorized Arrow/numpy path; other analyzers use the per-doc loop.
     """
 
     def __init__(self, analyzer: str = "porter", positional: bool = True,
@@ -72,6 +164,26 @@ class ExtractTokenize:
             texts = [extract_text(h) for h in batch["html"].to_pylist()]
         else:
             texts = batch["text"].to_pylist()
+
+        if getattr(self.analyzer, "kind", None) in ("porter", "nostem"):
+            (doc_lens, term_offsets, flat_terms, flat_tfs, flat_pos,
+             pos_inner_off) = _vector_tokenize(
+                texts, self.analyzer._stem, self.analyzer._cache,
+                self.positional)
+            off = pa.array(term_offsets, pa.int32())
+            cols = {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "url": urls,
+                "doc_len": pa.array(doc_lens, pa.int32()),
+                "terms": pa.ListArray.from_arrays(
+                    off, pa.array(flat_terms, pa.string())),
+                "tfs": pa.ListArray.from_arrays(off, pa.array(flat_tfs)),
+            }
+            if self.positional:
+                inner = pa.ListArray.from_arrays(
+                    pa.array(pos_inner_off), pa.array(flat_pos))
+                cols["positions"] = pa.ListArray.from_arrays(off, inner)
+            return pa.table(cols)
 
         analyze = self.analyzer
         positional = self.positional

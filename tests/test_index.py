@@ -207,3 +207,80 @@ def test_forward_resume_invalidated_by_input_change(ray_session,
     # same dir, changed corpus + changed token → fully rebuilt
     build_index(synth_webpages(40), idx, cfg, input_token="corpus-v2")
     assert IndexReader(idx).manifest["n_docs"] == 40
+
+
+def test_get_docs_prunes_to_matching_ranges(built, tmp_path_factory):
+    """get_docs must open only the forward partitions whose doc range
+    contains a requested id — deleting every other range partition must not
+    affect (or be noticed by) the lookup."""
+    import shutil
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    reader, oracle, manifest, idx, cfg = built
+    # copy the index so we can destroy partitions without hurting `built`
+    idx2 = str(tmp_path_factory.mktemp("idx_prune"))
+    shutil.rmtree(idx2)
+    shutil.copytree(idx, idx2)
+    r = IndexReader(idx2)
+    target = 3                      # doc range r=0 with 16-doc ranges
+    want = r.get_docs(np.array([target]))
+    assert list(want["doc_id"]) == [target]
+    fwd = os.path.join(idx2, "forward")
+    kept = f"r={target >> cfg.doc_range_bits}"
+    removed = 0
+    for d in os.listdir(fwd):
+        if d.startswith("r=") and d != kept:
+            shutil.rmtree(os.path.join(fwd, d))
+            removed += 1
+    assert removed >= 1             # N_DOCS=60 / 16-doc ranges -> 4 parts
+    again = IndexReader(idx2).get_docs(np.array([target]))
+    assert again.equals(want)       # pruned lookup never touched the rest
+
+
+def test_extend_equals_full_build(ray_session, tmp_path_factory):
+    """build(A) then extend(B) must produce byte-identical segments and
+    identical query results to build(A ∪ B) — including a doc range shared
+    between old and new docs (re-encoded from old forward rows + new)."""
+    import filecmp
+    import pyarrow as pa
+    from peterman_search_engine_ray.corpus import _wrap_batch, synth_rows
+    from peterman_search_engine_ray.pipelines.build import (build_index,
+                                                            extend_index)
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    import ray.data as rd
+
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=4,
+                      block_size=8, positional=True)
+    all_rows = synth_rows(60)
+    A = rd.from_arrow(_wrap_batch(all_rows.slice(0, 40)))
+    B = rd.from_arrow(_wrap_batch(all_rows.slice(40, 20)))   # 40..47 share
+    AB = rd.from_arrow(_wrap_batch(all_rows))                # range 2 with A
+
+    full_dir = str(tmp_path_factory.mktemp("idx_full"))
+    inc_dir = str(tmp_path_factory.mktemp("idx_inc"))
+    m_full = build_index(AB, full_dir, cfg)
+    build_index(A, inc_dir, cfg, input_token="A")
+    m_inc = extend_index(B, inc_dir, cfg)
+
+    assert m_inc["n_docs"] == m_full["n_docs"] == 60
+    assert abs(m_inc["avgdl"] - m_full["avgdl"]) < 1e-12
+    segs_full = {(r["tp"], r["dr"]): r["n_postings"]
+                 for r in m_full["segments"]}
+    segs_inc = {(r["tp"], r["dr"]): r["n_postings"]
+                for r in m_inc["segments"]}
+    assert segs_full == segs_inc
+    # byte-identical segment blobs
+    import os as _os
+    for fn in sorted(_os.listdir(_os.path.join(full_dir, "segments"))):
+        if fn.endswith(".bin"):
+            assert filecmp.cmp(_os.path.join(full_dir, "segments", fn),
+                               _os.path.join(inc_dir, "segments", fn),
+                               shallow=False), fn
+    # identical ranked results (scores too)
+    rf, ri = IndexReader(full_dir), IndexReader(inc_dir)
+    for q in (["peterman"], ["grape", "honeydew"], ["apple", "banana"]):
+        df_, sf_ = rf.bm25_topk_auto(q, 10)
+        di_, si_ = ri.bm25_topk_auto(q, 10)
+        assert df_.tolist() == di_.tolist()
+        assert sf_.tolist() == si_.tolist()
+    assert (rf.search_phrase(["grape", "honeydew"]).tolist()
+            == ri.search_phrase(["grape", "honeydew"]).tolist())
