@@ -117,6 +117,8 @@ def main() -> None:
 
     for q in queries[:10]:          # warm segment dirs + decode caches
         reader.bm25_topk_auto(q.split(), 10)
+    for w in vocab:                 # warm the phrase hot-term key cache
+        reader.search_phrase([w, vocab[0]])
     lat = []
     t0 = time.perf_counter()
     for q in queries[:200]:

@@ -117,6 +117,50 @@ class SegmentReader:
                               p_start, p_end - p_start, restarts=restarts)
         return np.repeat(all_docs, tf), values
 
+    def positions_gather(self, term: str, doc_ids: np.ndarray,
+                         block_size: int
+                         ) -> tuple[np.ndarray, np.ndarray] | None:
+        """(doc_id_per_value, positions) for ONLY the given candidate docs:
+        the per-posting offset table locates each candidate's byte range,
+        one vectorized gather builds a contiguous buffer, and ONE decode
+        call (restarting per list) yields every position — no byte of a
+        non-candidate's position stream is ever touched.  This is the
+        phrase path's block skipping: cost scales with the candidate set,
+        not the term's df."""
+        e = self.lookup(term)
+        if e is None:
+            return None
+        all_docs, tf, _ = self.postings(term, block_size)
+        idx = np.searchsorted(all_docs, doc_ids)
+        valid = (idx < all_docs.size)
+        valid[valid] = all_docs[idx[valid]] == doc_ids[valid]
+        if not valid.any():
+            return None
+        idx = idx[valid]
+        docs_v = doc_ids[valid]
+        tf_v = tf[idx].astype(np.int64)
+        s0, s1 = int(e["slot_start"]), int(e["slot_end"])
+        p_start, p_end = int(e["pos_start"]), int(e["pos_end"])
+        rel = self._sec("pos_offsets", np.uint32)
+        slots = s0 + idx
+        los = p_start + rel[slots].astype(np.int64)
+        his = np.empty_like(los)
+        inner = slots + 1 < s1
+        his[inner] = p_start + rel[slots[inner] + 1].astype(np.int64)
+        his[~inner] = p_end
+        lens = his - los
+        total = int(lens.sum())
+        if total == 0:
+            return None
+        # gather all candidate byte ranges into one contiguous buffer
+        out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        take = np.arange(total, dtype=np.int64) + \
+            np.repeat(los - out_starts, lens)
+        buf = self._sec("pos", np.uint8)[take]
+        restarts = np.concatenate(([0], np.cumsum(tf_v)[:-1]))
+        values = self._decode(buf, 0, total, restarts=restarts)
+        return np.repeat(docs_v, tf_v), values
+
     def positions(self, term: str, doc_ids: np.ndarray,
                   block_size: int) -> list[np.ndarray]:
         """Position lists for the given (already matched) doc_ids of term.
@@ -273,6 +317,48 @@ class IndexReader:
     # -- phrase (positional, J3) ------------------------------------------
     _POS_BITS = 22  # fast path: position < 2^22 and doc_id < 2^41
 
+    def _phrase_keys(self, term: str) -> np.ndarray | None:
+        """SORTED int64 keys ``(doc_id << 22) + pos`` over a term's whole
+        position stream, cached per reader (hot-term phrase queries pay the
+        stream decode + sort once; every later query intersects sorted
+        arrays via searchsorted).  None if doc_id/pos exceed the packing."""
+        cache = getattr(self, "_phrase_key_cache", None)
+        if cache is None:
+            cache = self._phrase_key_cache = {}
+        if term in cache:
+            return cache[term]
+        parts = []
+        for sr in self.term_segments(term):
+            bulk = sr.positions_bulk(term, self.cfg.block_size)
+            if bulk is not None:
+                parts.append(bulk)
+        if not parts:
+            keys = np.empty(0, np.int64)
+        else:
+            docs = np.concatenate([p[0] for p in parts])
+            pos = np.concatenate([p[1] for p in parts])
+            if (docs.size and int(docs.max()) >= 1 << (63 - self._POS_BITS)) \
+                    or (pos.size and int(pos.max()) >= 1 << self._POS_BITS):
+                keys = None
+            else:
+                keys = np.sort((docs << self._POS_BITS) + pos)
+        if len(cache) >= 32:
+            cache.pop(next(iter(cache)))
+        cache[term] = keys
+        return keys
+
+    @staticmethod
+    def _sorted_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Intersection of two SORTED unique int64 arrays, O(min·log max)."""
+        if a.size > b.size:
+            a, b = b, a
+        if b.size == 0 or a.size == 0:
+            return np.empty(0, np.int64)
+        idx = np.searchsorted(b, a)
+        ok = idx < b.size
+        ok[ok] = b[idx[ok]] == a[ok]
+        return a[ok]
+
     def search_phrase(self, phrase: list[str]) -> np.ndarray:
         """Strict consecutive phrase over the post-filter token stream (M8),
         fully vectorized: every occurrence of term j becomes an int64 key
@@ -287,38 +373,46 @@ class IndexReader:
             return np.empty(0, np.int64)
         if len(toks) == 1:
             return self.postings(toks[0])[0]
-        # selective phrases: the AND candidate set is cheap (cached postings);
-        # few candidates -> per-candidate position gather beats decoding a
-        # hot term's entire position stream
+        # AND candidate set first (cached postings), then gather ONLY the
+        # candidates' position byte ranges per term — a hot term's position
+        # stream is never decoded wholesale (see positions_gather)
         cand = self.search_and(toks)
         if cand.size == 0:
             return cand
-        if cand.size <= 512:
-            return self._search_phrase_slow(toks)
+        pos_mask = (1 << self._POS_BITS) - 1
         anchors = None
         for j, t in enumerate(toks):
-            parts = []
-            for sr in self.term_segments(t):
-                bulk = sr.positions_bulk(t, self.cfg.block_size)
-                if bulk is not None:
-                    parts.append(bulk)
-            if not parts:
-                return np.empty(0, np.int64)
-            docs = np.concatenate([p[0] for p in parts])
-            pos = np.concatenate([p[1] for p in parts])
-            if (docs.size and int(docs.max()) >= 1 << (63 - self._POS_BITS)) \
-                    or (pos.size and int(pos.max()) >= 1 << self._POS_BITS):
-                return self._search_phrase_slow(toks)
+            # selective candidates -> byte-range gather (cost ~ |cand|);
+            # dense candidates (cand ≈ df) -> the per-reader SORTED key
+            # cache (stream decoded+sorted once, then searchsorted joins)
+            if cand.size * 2 >= self.doc_freq(t):
+                keys = self._phrase_keys(t)
+                if keys is None:
+                    return self._search_phrase_slow(toks)
+            else:
+                parts = []
+                for sr in self.term_segments(t):
+                    g = sr.positions_gather(t, cand, self.cfg.block_size)
+                    if g is not None:
+                        parts.append(g)
+                if not parts:
+                    return np.empty(0, np.int64)
+                docs = np.concatenate([p[0] for p in parts])
+                pos = np.concatenate([p[1] for p in parts])
+                if (docs.size
+                        and int(docs.max()) >= 1 << (63 - self._POS_BITS)) \
+                        or (pos.size
+                            and int(pos.max()) >= 1 << self._POS_BITS):
+                    return self._search_phrase_slow(toks)
+                keys = np.sort((docs << self._POS_BITS) + pos)
             if j > 0:
                 # pos < j can never anchor a phrase; dropping it also stops
-                # (pos - j) underflowing into the previous doc_id's key space.
-                keep = pos >= j
-                docs, pos = docs[keep], pos[keep]
-                if docs.size == 0:
+                # (pos - j) underflowing into the previous doc_id's key space
+                keys = keys[(keys & pos_mask) >= j] - j
+                if keys.size == 0:
                     return np.empty(0, np.int64)
-            keys = (docs << self._POS_BITS) + (pos - j)
             anchors = keys if anchors is None else \
-                np.intersect1d(anchors, keys, assume_unique=True)
+                self._sorted_intersect(anchors, keys)
             if anchors.size == 0:
                 return np.empty(0, np.int64)
         out = np.unique(anchors >> self._POS_BITS)
