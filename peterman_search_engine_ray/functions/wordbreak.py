@@ -26,10 +26,12 @@ DEMO_FREQ = {
 }
 
 
-def load_freq_dict(path: str) -> dict[str, int]:
+def load_freq_dict(path: str) -> dict[str, float]:
     """Parse 'word freq' lines; strips BOM (reference
-    WordBreakTokenizer.initializeMap, :41-80)."""
-    out: dict[str, int] = {}
+    WordBreakTokenizer.initializeMap, :41-80).  Frequencies may be ints or
+    doubles — the reference's Japanese dictionary stores ``783900.0``-style
+    values (JapaneseWordBreakTokenizer.java:52-66)."""
+    out: dict[str, float] = {}
     with open(path, encoding="utf-8") as f:
         for line in f:
             line = line.lstrip("﻿").strip()
@@ -37,7 +39,7 @@ def load_freq_dict(path: str) -> dict[str, int]:
                 continue
             parts = line.split()
             if len(parts) >= 2:
-                out[parts[0].lower()] = int(parts[1])
+                out[parts[0].lower()] = float(parts[1])
     return out
 
 

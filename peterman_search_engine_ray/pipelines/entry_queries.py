@@ -338,15 +338,38 @@ def q_ann_lsh_top10(sf_dir: str):
 
 
 def q_wordbreak(sf_dir: str):
+    """DP word-break over space-free text (M4/M5).  Uses the reference's
+    own frequency dictionaries when its checkout is present (English +
+    Japanese rows, conformance-pinned in tests); otherwise the built-in
+    demo dictionary (English rows only)."""
     from ..functions.wordbreak import WordBreakStage
-    tbl = pa.table({
-        "doc_id": pa.array(np.arange(4, dtype=np.int64)),
-        "text": pa.array(["catdog", "itisaniceday", "raindogcat", "qqq"],
-                         pa.string()),
-    })
-    out = (ray.data.from_arrow(tbl)
-           .map_batches(WordBreakStage, batch_format="pyarrow", concurrency=1)
-           .to_pandas().sort_values("doc_id"))
+    res = "/root/reference/src/main/resources"
+    en_dict = os.path.join(res, "cs221_frequency_dictionary_en.txt")
+    ja_dict = os.path.join(res, "japanese_dictionary_twitter_freq.txt")
+    rows = [("catdog", None), ("itisaniceday", None),
+            ("raindogcat", None), ("qqq", None)]
+    if os.path.exists(ja_dict):
+        rows += [("蓼食う虫も好き好き", ja_dict),
+                 ("猿も木から落ちる", ja_dict),
+                 ("門前の小僧習わぬ経を読む", ja_dict)]
+    frames = []
+    for dict_path in (None, ja_dict):
+        sub = [(i, t) for i, (t, d) in enumerate(rows) if d == dict_path]
+        if not sub:
+            continue
+        use_en = dict_path is None and os.path.exists(en_dict)
+        tbl = pa.table({
+            "doc_id": pa.array([i for i, _ in sub], pa.int64()),
+            "text": pa.array([t for _, t in sub], pa.string()),
+        })
+        frames.append(
+            ray.data.from_arrow(tbl)
+            .map_batches(WordBreakStage, batch_format="pyarrow",
+                         fn_constructor_kwargs={
+                             "freq_path": en_dict if use_en else dict_path},
+                         concurrency=1)
+            .to_pandas())
+    out = pd.concat(frames, ignore_index=True).sort_values("doc_id")
     out["tokens"] = out["tokens"].map(lambda t: " ".join(t))
     return out.reset_index(drop=True)
 
