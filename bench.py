@@ -37,7 +37,8 @@ def run_scaling() -> None:
     def run(ncpu: int) -> dict:
         best = None
         for _ in range(reps):   # best-of-N: single-box runs are noisy
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BUILD_ONLY="1")  # scaling grades the build
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True,
                                  check=True).stdout
@@ -105,6 +106,17 @@ def main() -> None:
     manifest = build_index(corpus, idx, cfg, resume=False)
     t_build = time.perf_counter() - t0
     n_docs = manifest["n_docs"]
+
+    if os.environ.get("GRAFT_BUILD_ONLY") == "1":
+        print(json.dumps({
+            "metric": "index_build_sec", "value": round(t_build, 2),
+            "unit": "sec", "queries": {"index_build": round(t_build, 2)},
+            "sf": sf_dir, "num_cpus": ncpu, "docs": n_docs,
+            "replicate": replicate,
+            "docs_per_sec": round(n_docs / t_build, 1),
+            "n_segments": len(manifest["segments"])}))
+        ray.shutdown()
+        return
 
     # ---- query replay -----------------------------------------------------
     reader = IndexReader(idx)

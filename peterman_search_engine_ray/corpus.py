@@ -20,6 +20,7 @@ Two entry points:
 from __future__ import annotations
 
 import html as _html
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -88,7 +89,7 @@ def webpages_from_documents(sf_dir: str, *, columns=("doc_id", "text", "lang"),
     # (task, part), so task count must be independent of the CPU count or
     # aggregate overhead inflates with parallelism (and scaling runs stop
     # comparing the same job).
-    nblocks = 64
+    nblocks = int(os.environ.get("PETERMAN_CORPUS_BLOCKS", "64"))
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=list(columns)).repartition(nblocks)
     if replicate > 1:
