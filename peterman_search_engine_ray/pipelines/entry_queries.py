@@ -383,7 +383,12 @@ def q_media_features(sf_dir: str):
     audio = ds.select_columns(["media_id", "audio"]).map_batches(
         mm.AudioFeatures, batch_format="pyarrow", batch_size=16,
         concurrency=2).to_pandas()
-    return img.merge(audio, on="media_id").sort_values("media_id").reset_index(drop=True)
+    out = (img.merge(audio, on="media_id")
+           .sort_values("media_id").reset_index(drop=True))
+    for c in ("height", "width", "channels", "sample_rate",
+              "n_samples", "zero_crossings"):
+        out[c] = out[c].astype(np.int64)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -676,5 +681,38 @@ SELECT doc_id FROM (
            DESC, s.doc_id
   LIMIT 10)
 ORDER BY doc_id""",
+
+        # media payloads are SQL-regenerable integer sequences and the
+        # feature kernels compute from integer moment sums, so DuckDB
+        # reproduces every double bit-for-bit (see stages/multimodal.py)
+        "media_features": """
+WITH m AS (SELECT unnest(generate_series(0, 63)) AS media_id),
+img AS (
+  SELECT m.media_id, sum(p.v) AS s1, sum(p.v * p.v) AS s2
+  FROM m, LATERAL (
+    SELECT ((5 + m.media_id) * 2654435761 + kk.k * 40503) % 256 AS v
+    FROM (SELECT unnest(generate_series(0, 191)) AS k) kk) p
+  GROUP BY m.media_id),
+aud AS (
+  SELECT m.media_id,
+         sum(p.v * p.v) AS sq,
+         sum(CASE WHEN p.k < 1023 AND p.v * p.vn < 0 THEN 1 ELSE 0 END) AS zc
+  FROM m, LATERAL (
+    SELECT kk.k AS k,
+           (((5 + m.media_id) * 2654435761 + kk.k * 48271) % 65536) - 32768 AS v,
+           (((5 + m.media_id) * 2654435761 + (kk.k + 1) * 48271) % 65536) - 32768 AS vn
+    FROM (SELECT unnest(generate_series(0, 1023)) AS k) kk) p
+  GROUP BY m.media_id)
+SELECT img.media_id AS media_id,
+       CAST(8 AS BIGINT) AS height, CAST(8 AS BIGINT) AS width,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(s1 AS DOUBLE) / 192 AS mean_px,
+       sqrt(CAST(s2 AS DOUBLE) / 192
+            - (CAST(s1 AS DOUBLE) / 192) * (CAST(s1 AS DOUBLE) / 192)) AS std_px,
+       CAST(16000 AS BIGINT) AS sample_rate, CAST(1024 AS BIGINT) AS n_samples,
+       sqrt(CAST(sq AS DOUBLE) / 1024) AS rms,
+       CAST(zc AS BIGINT) AS zero_crossings
+FROM img JOIN aud ON aud.media_id = img.media_id
+ORDER BY media_id""",
 
     }

@@ -70,35 +70,45 @@ def pagerank_numpy(edges: pd.DataFrame, num_iterations: int = 100,
 
 def pagerank_ray(edges_ds: "ray.data.Dataset", num_iterations: int = 100,
                  damping: float = 0.85) -> pd.DataFrame:
-    """Distributed iteration: scores broadcast once per iteration, edge
-    contributions shuffled by dst.  Output identical to pagerank_numpy."""
+    """Distributed iteration: per iteration ONE numpy weight vector is
+    broadcast (``ray.put`` of a float64 array + the sorted node-id array
+    put once), each batch maps src→weight via searchsorted, and a
+    ``groupby(dst).sum`` shuffle accumulates in-flows.  Driver state is
+    node-scale numpy arrays — no per-iteration Python dicts.  Output
+    identical to pagerank_numpy (asserted in tests)."""
     deg = (edges_ds.groupby("src").count().to_pandas()
            .rename(columns={"count()": "outdeg"}))
     dsts = edges_ds.groupby("dst").count().to_pandas()
     nodes = np.unique(np.concatenate([deg["src"].to_numpy(),
                                       dsts["dst"].to_numpy()]))
-    outdeg = dict(zip(deg["src"].tolist(), deg["outdeg"].tolist()))
-    prev = {int(v): 1.0 for v in nodes}
+    outdeg = np.zeros(nodes.size, np.float64)
+    outdeg[np.searchsorted(nodes, deg["src"].to_numpy())] = \
+        deg["outdeg"].to_numpy()
+    nodes_ref = ray.put(nodes)                 # broadcast ONCE
+    prev = np.ones(nodes.size, np.float64)
 
-    for _ in range(num_iterations):
-        # broadcast one dict: src -> prev/outdeg (vectorized lookup per batch)
-        ref = ray.put({s: prev[s] / outdeg[s] for s in outdeg})
-
+    def contrib_fn(w_ref):
         def contrib(batch: pa.Table) -> pa.Table:
-            per_src = ray.get(ref)
-            w = pd.Series(batch["src"].to_numpy()).map(per_src).to_numpy()
+            ns = ray.get(nodes_ref)
+            wv = ray.get(w_ref)
+            idx = np.searchsorted(ns, batch["src"].to_numpy())
             return pa.table({"dst": batch["dst"],
-                             "w": pa.array(w, pa.float64())})
+                             "w": pa.array(wv[idx], pa.float64())})
+        return contrib
 
-        sums = (edges_ds.map_batches(contrib, batch_format="pyarrow")
+    safe_deg = np.where(outdeg > 0, outdeg, 1.0)
+    for _ in range(num_iterations):
+        w_ref = ray.put(prev / safe_deg)
+        sums = (edges_ds.map_batches(contrib_fn(w_ref),
+                                     batch_format="pyarrow")
                         .groupby("dst").aggregate(Sum("w", alias_name="s"))
                         .to_pandas())
-        incoming = dict(zip(sums["dst"].tolist(), sums["s"].tolist()))
-        prev = {int(v): (1 - damping) + damping * incoming.get(int(v), 0.0)
-                for v in nodes}
+        incoming = np.zeros(nodes.size, np.float64)
+        incoming[np.searchsorted(nodes, sums["dst"].to_numpy())] = \
+            sums["s"].to_numpy()
+        prev = (1 - damping) + damping * incoming
 
-    out = pd.DataFrame({"node": nodes,
-                        "score": [prev[int(v)] for v in nodes]})
+    out = pd.DataFrame({"node": nodes, "score": prev})
     return out.sort_values(["score", "node"],
                            ascending=[False, True]).reset_index(drop=True)
 

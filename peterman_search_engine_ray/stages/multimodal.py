@@ -24,16 +24,24 @@ import pyarrow as pa
 
 
 # --- deterministic synthesis (tests/benches) -------------------------------
+# Payloads are integer LCG-style sequences (NOT RNG draws) so a SQL oracle
+# can regenerate every byte with generate_series arithmetic and verify the
+# extracted features end-to-end.
+
+_IMG_MULT, _IMG_STEP = 2654435761, 40503
+_AUD_MULT, _AUD_STEP = 2654435761, 48271
+
 
 def make_fake_image(seed: int, h: int = 8, w: int = 8, c: int = 3) -> bytes:
-    rng = np.random.RandomState(seed)
-    payload = rng.randint(0, 256, size=h * w * c, dtype=np.uint8)
+    k = np.arange(h * w * c, dtype=np.int64)
+    payload = ((seed * _IMG_MULT + k * _IMG_STEP) % 256).astype(np.uint8)
     return b"FAKI" + struct.pack(">HHB", h, w, c) + payload.tobytes()
 
 
 def make_fake_audio(seed: int, rate: int = 16000, n: int = 1024) -> bytes:
-    rng = np.random.RandomState(seed)
-    samples = (rng.randn(n) * 3000).astype(np.int16)
+    k = np.arange(n, dtype=np.int64)
+    samples = (((seed * _AUD_MULT + k * _AUD_STEP) % 65536) - 32768
+               ).astype(">i2")           # the FAKA format is big-endian
     return b"FAKA" + struct.pack(">II", rate, n) + samples.tobytes()
 
 
@@ -81,11 +89,17 @@ class ImageFeatures:
     — binary rows are fat; batches must stay object-store-friendly."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
         hs, ws, cs, means, stds = [], [], [], [], []
         for b in batch["image"].to_pylist():
             img = _decode_fake_image(b)
             hs.append(img.shape[0]); ws.append(img.shape[1]); cs.append(img.shape[2])
-            means.append(float(img.mean())); stds.append(float(img.std()))
+            # integer moment sums -> exact doubles a SQL oracle reproduces
+            n = img.size
+            s1 = int(img.sum(dtype=np.int64))
+            s2 = int((img.astype(np.int64) ** 2).sum())
+            means.append(s1 / n)
+            stds.append(math.sqrt(s2 / n - (s1 / n) * (s1 / n)))
         return pa.table({
             "media_id": batch["media_id"],
             "height": pa.array(hs, pa.int32()),
@@ -125,8 +139,10 @@ class AudioFeatures:
         for b in batch["audio"].to_pylist():
             rate, x = _decode_fake_audio(b)
             rates.append(rate); ns.append(len(x))
-            xf = x.astype(np.float64)
-            rms.append(float(np.sqrt((xf * xf).mean()) if len(x) else 0.0))
+            # integer sum of squares -> bit-identical rms in the SQL oracle
+            sq = int((x.astype(np.int64) ** 2).sum())
+            import math
+            rms.append(math.sqrt(sq / len(x)) if len(x) else 0.0)
             zc.append(int(((x[:-1].astype(np.int32) * x[1:]) < 0).sum()))
         return pa.table({
             "media_id": batch["media_id"],
