@@ -254,6 +254,39 @@ def q_embedding_neardup(sf_dir: str):
     return out[["a", "b"]].astype(np.int64)
 
 
+def q_extend_search(sf_dir: str):
+    """Incremental-extension correctness, driver-visible: build the index
+    over the first 80% of documents, ``extend_index`` with the remaining
+    20% (their doc range overlaps the old corpus, so shared ranges
+    re-encode from old forward rows + new), then run the AND search.  The
+    oracle is the plain SQL over ALL documents — extension must be
+    indistinguishable from a full build (byte-identity is pytest-checked;
+    this query exposes it to the driver's gate)."""
+    import shutil
+    from .build import build_index, extend_index
+    from .query import IndexReader
+    idx = index_dir_for(sf_dir, "nostem") + "-ext"
+    shutil.rmtree(idx, ignore_errors=True)     # extend is not idempotent
+    cfg = IndexConfig(num_term_partitions=8, doc_range_bits=12,
+                      positional=True, analyzer="nostem")
+    ids = _docs(sf_dir).select_columns(["doc_id"]).to_pandas()["doc_id"]
+    cut = int(np.quantile(ids.to_numpy(), 0.8))
+
+    def part_filter(lo, hi):
+        def fn(batch: pa.Table) -> pa.Table:
+            d = batch["doc_id"].to_numpy()
+            return batch.filter(pa.array((d >= lo) & (d < hi)))
+        return fn
+
+    full = webpages_from_documents(sf_dir)
+    build_index(full.map_batches(part_filter(-1 << 62, cut),
+                                 batch_format="pyarrow"),
+                idx, cfg, input_token=f"ext-demo-A-{cut}")
+    extend_index(full.map_batches(part_filter(cut, 1 << 62),
+                                  batch_format="pyarrow"), idx, cfg)
+    return _ids_frame(IndexReader(idx).search_and(list(_AND_TERMS)))
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def q_bm25_top10_stemmed(sf_dir: str):
@@ -414,6 +447,7 @@ def queries():
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_top20": q_ann_cosine_top20,
         "embedding_neardup": q_embedding_neardup,
+        "extend_search": q_extend_search,
         # rows-only (non-SQL-expressible: stemming / sketches / iterative)
         "bm25_top10_stemmed": q_bm25_top10_stemmed,
         "minhash_pairs": q_minhash_pairs,
@@ -567,6 +601,12 @@ WHERE n_tokens >= 10 AND n_stop * 10 <= n_tokens * 6
 SELECT doc_id FROM toks WHERE list_contains(ts, '{_KEYWORD}') ORDER BY doc_id""",
 
         "and_search": f"""
+{_TOKS}
+SELECT doc_id FROM toks
+WHERE list_contains(ts, '{_AND_TERMS[0]}') AND list_contains(ts, '{_AND_TERMS[1]}')
+ORDER BY doc_id""",
+
+        "extend_search": f"""
 {_TOKS}
 SELECT doc_id FROM toks
 WHERE list_contains(ts, '{_AND_TERMS[0]}') AND list_contains(ts, '{_AND_TERMS[1]}')
