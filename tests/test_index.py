@@ -284,3 +284,41 @@ def test_extend_equals_full_build(ray_session, tmp_path_factory):
         assert sf_.tolist() == si_.tolist()
     assert (rf.search_phrase(["grape", "honeydew"]).tolist()
             == ri.search_phrase(["grape", "honeydew"]).tolist())
+
+
+def test_positions_gather_matches_bulk(built):
+    """positions_gather(term, subset) must equal the subset-restriction of
+    positions_bulk(term) for arbitrary candidate sets (incl. ids absent
+    from the term's postings)."""
+    reader, oracle, *_ , cfg = built
+    rng = np.random.RandomState(7)
+    for term in ["peterman", "grape", "appl", "unique3", "honeydew"]:
+        toks = reader.analyze_query([term])
+        if not toks:
+            continue
+        t = toks[0]
+        for sr in reader.term_segments(t):
+            bulk = sr.positions_bulk(t, cfg.block_size)
+            if bulk is None:
+                continue
+            all_docs = np.unique(bulk[0])
+            for trial in range(4):
+                # mix of present docs, absent ids, empty, and full sets
+                if trial == 0:
+                    cand = np.empty(0, np.int64)
+                elif trial == 1:
+                    cand = all_docs
+                else:
+                    cand = np.unique(np.concatenate([
+                        rng.choice(all_docs,
+                                   size=max(1, all_docs.size // 2),
+                                   replace=False),
+                        rng.randint(0, N_DOCS + 20, size=3)]))
+                g = sr.positions_gather(t, cand, cfg.block_size)
+                mask = np.isin(bulk[0], cand)
+                if not mask.any():
+                    assert g is None or g[0].size == 0
+                    continue
+                assert g is not None
+                assert np.array_equal(g[0], bulk[0][mask])
+                assert np.array_equal(g[1], bulk[1][mask])
