@@ -111,9 +111,15 @@ def main() -> None:
     # contiguous replicate shift → few, fat doc ranges (not one per copy)
     corpus = webpages_from_documents(sf_dir, replicate=replicate,
                                      replicate_shift=8192)
-    t0 = time.perf_counter()
-    manifest = build_index(corpus, idx, cfg, resume=False)
-    t_build = time.perf_counter() - t0
+    # best-of-N builds: the sandbox VM's host load drifts several-fold
+    # within minutes, so a single timing can misreport the engine by 2×
+    t_build = None
+    for _ in range(int(os.environ.get("GRAFT_BUILD_REPS", "2"))):
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        manifest = build_index(corpus, idx, cfg, resume=False)
+        dt = time.perf_counter() - t0
+        t_build = dt if t_build is None else min(t_build, dt)
     n_docs = manifest["n_docs"]
 
     if os.environ.get("GRAFT_BUILD_ONLY") == "1":
