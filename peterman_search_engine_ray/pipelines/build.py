@@ -297,10 +297,10 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
       node can read it on a real cluster); ``PETERMAN_SCATTER_TMPFS=1``
       is a single-node opt-in that moves the exchange to /dev/shm
       (memory bandwidth instead of disk — what bench.py uses).
-    * ``"objstore"`` — the exploded posting rows move through Ray
+    * ``"objstore"`` — per-group lz4 Arrow-IPC blobs move through Ray
       Data's hash-shuffle operator (object store exchange, spillable);
-      no filesystem assumption at all, ~3× slower single-node than the
-      tmpfs scatter (serialization + aggregator-actor overhead).
+      no filesystem assumption at all, ~1.5-2× slower single-node than
+      the tmpfs scatter (aggregator-actor overhead).
     """
     import time as _time
     cfg = cfg or IndexConfig()
@@ -351,14 +351,48 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
     enc_fn = partial(encode_parts_block, index_dir, cfg)
 
     if shuffle == "objstore":
-        # The exploded posting rows themselves go through Ray Data's hash
-        # shuffle: blocks move via the (spillable) object store, so the
-        # exchange is multi-node-correct by construction — no stage ever
-        # opens another node's local path, and the driver holds no
-        # fragment index at all.
-        ex = tok.map_batches(explode_fn, batch_format="pyarrow")
-        seg_stats = (hash_partition(ex, ["part"], n_blocks)
-                     .map_batches(enc_fn, batch_format="pyarrow")
+        # Object-store exchange with PRE-SERIALIZED payloads: each task
+        # splits its exploded batch by part group and emits one row per
+        # group — (group, lz4 Arrow-IPC blob) — and the hash shuffle moves
+        # those few compressed-binary rows through the (spillable) object
+        # store; encode tasks decode the blobs of their group.  Multi-node
+        # by construction (no stage opens any path), no driver state, and
+        # ~4× cheaper than shuffling the raw posting rows: the string term
+        # column re-serializes poorly through the row exchange, while the
+        # lz4 stream moves as one buffer.
+        def scatter_blobs(batch: pa.Table) -> pa.Table:
+            opts = pa.ipc.IpcWriteOptions(compression="lz4")
+            ex = explode_fn(batch).combine_chunks()
+            part = ex["part"].to_numpy()
+            group = part % n_blocks
+            order = np.argsort(group, kind="stable")
+            ex = ex.take(order)
+            group = group[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], group[1:] != group[:-1])))
+            ends = np.append(starts[1:], group.size)
+            gids, blobs = [], []
+            for s, e in zip(starts, ends):
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, ex.schema, options=opts) as w:
+                    w.write_table(ex.slice(s, e - s))
+                gids.append(int(group[s]))
+                blobs.append(sink.getvalue().to_pybytes())
+            return pa.table({"group": pa.array(gids, pa.int64()),
+                             "blob": pa.array(blobs, pa.binary())})
+
+        def encode_blobs(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _manifest_row(part=-1, tp=-1, dr=-1, seg="",
+                                     n_terms=0, n_postings=0,
+                                     resumed=False).slice(0, 0)
+            tbls = [pa.ipc.open_stream(pa.BufferReader(b)).read_all()
+                    for b in batch["blob"].to_pylist()]
+            return encode_parts_block(index_dir, cfg, pa.concat_tables(tbls))
+
+        blobs = tok.map_batches(scatter_blobs, batch_format="pyarrow")
+        seg_stats = (hash_partition(blobs, ["group"], n_blocks)
+                     .map_batches(encode_blobs, batch_format="pyarrow")
                      .to_pandas())
         scatter_dir = None
     elif shuffle == "scatter":
