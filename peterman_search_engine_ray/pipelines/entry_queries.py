@@ -254,6 +254,27 @@ def q_embedding_neardup(sf_dir: str):
     return out[["a", "b"]].astype(np.int64)
 
 
+def _events(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+
+
+def q_windowed_counts(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + min/max event_id
+    (map-side partials, one hash exchange of partials only)."""
+    from ..stages.events import windowed_counts
+    return windowed_counts(_events(sf_dir))
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30 min) per user over the event log —
+    the stateful streaming-window op, hash-partitioned by user with a
+    vectorized per-block sessionizer."""
+    from ..stages.events import sessionize
+    return sessionize(_events(sf_dir))
+
+
 def q_extend_search(sf_dir: str):
     """Incremental-extension correctness, driver-visible: build the index
     over the first 80% of documents, ``extend_index`` with the remaining
@@ -448,6 +469,8 @@ def queries():
         "ann_cosine_top20": q_ann_cosine_top20,
         "embedding_neardup": q_embedding_neardup,
         "extend_search": q_extend_search,
+        "windowed_counts": q_windowed_counts,
+        "sessionize": q_sessionize,
         # rows-only (non-SQL-expressible: stemming / sketches / iterative)
         "bm25_top10_stemmed": q_bm25_top10_stemmed,
         "minhash_pairs": q_minhash_pairs,
@@ -639,6 +662,30 @@ SELECT count(*) AS n_postings, count(DISTINCT term) AS n_terms FROM tf""",
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
 
         "ngram_jaccard": ngram,
+
+        "windowed_counts": """
+SELECT event_type,
+       CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS win_us,
+       count(*) AS n,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+        "sessionize": """
+WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus, event_id
+           FROM events),
+g AS (SELECT user_id, tus, event_id,
+             CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+s AS (SELECT user_id, tus,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                 AS session_id
+      FROM g)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(tus) AS start_us, max(tus) AS end_us
+FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
 
         "ann_cosine_top20": f"""
 WITH q AS (SELECT embedding AS e FROM embeddings

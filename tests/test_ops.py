@@ -219,3 +219,42 @@ def test_text_stats_stage(ray_session):
     assert out["lang_pred"].tolist()[0] == "en"
     assert out["n_tokens"].tolist()[5] == 0
     assert out["fingerprint"].tolist()[0] == out["fingerprint"].tolist()[3]
+
+
+def test_windowed_counts_and_sessionize(ray_session):
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.events import (sessionize,
+                                                          windowed_counts)
+    H = 3_600_000_000           # 1h in us
+    M30 = 1_800_000_000
+    rows = [
+        # user 1: two sessions (gap 31min between 2nd and 3rd event)
+        (0, 10 * H,               1, "click"),
+        (1, 10 * H + M30,         1, "click"),
+        (2, 10 * H + 2 * M30 + 1, 1, "view"),
+        # user 2: ONE session (gap < 30min) spanning two hour-windows
+        (3, 10 * H + M30 + 100,   2, "click"),
+        (4, 11 * H,               2, "click"),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    ds = rd.from_arrow(tbl)
+
+    w = windowed_counts(ds)
+    got = {(r.event_type, r.win_us): (r.n, r.min_id, r.max_id)
+           for r in w.itertuples()}
+    assert got[("click", 10 * H)] == (3, 0, 3)
+    assert got[("click", 11 * H)] == (1, 4, 4)
+    assert got[("view", 11 * H)] == (1, 2, 2)   # 10h+60min+1us is in 11h
+
+    s = sessionize(ds)
+    sess = {(r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+            for r in s.itertuples()}
+    assert sess[(1, 0)] == (2, 10 * H, 10 * H + M30)
+    assert sess[(1, 1)] == (1, 10 * H + 2 * M30 + 1, 10 * H + 2 * M30 + 1)
+    assert sess[(2, 0)] == (2, 10 * H + M30 + 100, 11 * H)
+    assert len(sess) == 3
