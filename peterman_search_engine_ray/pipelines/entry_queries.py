@@ -275,6 +275,41 @@ def q_sessionize(sf_dir: str):
     return sessionize(_events(sf_dir))
 
 
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast join: the 10×-smaller customer table is ray.put once and
+    every orders batch does a vectorized local lookup — no shuffle join —
+    then a small groupby counts orders per nation (names joined
+    driver-side from the 25-row nation table)."""
+    import pyarrow.parquet as pq_
+    from ..stages.join import broadcast_join
+    cust = pq_.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    nation = pq_.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"]).to_pandas()
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_orderkey", "o_custkey"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+    counts = (joined.groupby("c_nationkey").count().to_pandas()
+              .rename(columns={"count()": "n_orders"}))
+    out = counts.merge(nation, left_on="c_nationkey",
+                       right_on="n_nationkey")[["n_name", "n_orders"]]
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def q_top_docs_per_source(sf_dir: str):
+    """Per-group top-k (best 3 docs per source by n_chars): map-side
+    partial top-k bounds the exchange to O(keys·k) rows."""
+    from ..stages.join import topk_per_group
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "source", "n_chars"])
+    out = topk_per_group(ds, "source", "n_chars", 3, "doc_id")
+    for c in ("doc_id", "n_chars", "rank"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def q_extend_search(sf_dir: str):
     """Incremental-extension correctness, driver-visible: build the index
     over the first 80% of documents, ``extend_index`` with the remaining
@@ -471,6 +506,8 @@ def queries():
         "extend_search": q_extend_search,
         "windowed_counts": q_windowed_counts,
         "sessionize": q_sessionize,
+        "orders_by_nation": q_orders_by_nation,
+        "top_docs_per_source": q_top_docs_per_source,
         # rows-only (non-SQL-expressible: stemming / sketches / iterative)
         "bm25_top10_stemmed": q_bm25_top10_stemmed,
         "minhash_pairs": q_minhash_pairs,
@@ -662,6 +699,19 @@ SELECT count(*) AS n_postings, count(DISTINCT term) AS n_terms FROM tf""",
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
 
         "ngram_jaccard": ngram,
+
+        "orders_by_nation": """
+SELECT n.n_name AS n_name, count(*) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1 ORDER BY 1""",
+
+        "top_docs_per_source": """
+SELECT source, doc_id, n_chars,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) - 1
+            AS BIGINT) AS rank
+FROM documents QUALIFY rank < 3 ORDER BY source, rank""",
 
         "windowed_counts": """
 SELECT event_type,

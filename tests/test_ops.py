@@ -258,3 +258,24 @@ def test_windowed_counts_and_sessionize(ray_session):
     assert sess[(1, 1)] == (1, 10 * H + 2 * M30 + 1, 10 * H + 2 * M30 + 1)
     assert sess[(2, 0)] == (2, 10 * H + M30 + 100, 11 * H)
     assert len(sess) == 3
+
+
+def test_broadcast_join_and_topk_per_group(ray_session):
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.join import (broadcast_join,
+                                                        topk_per_group)
+    big = pa.table({"k": pa.array([1, 2, 3, 2, 9], pa.int64()),
+                    "v": pa.array([10, 20, 30, 40, 50], pa.int64())})
+    small = pd.DataFrame({"k": [1, 2, 3], "name": ["a", "b", "c"]})
+    out = (broadcast_join(rd.from_arrow(big), small, on="k")
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    assert out["name"].tolist() == ["a", "b", "c", "b"] and len(out) == 4
+    # k=9 (no match) dropped — inner join
+
+    tbl = pa.table({"g": pa.array(["x"] * 4 + ["y"] * 2, pa.string()),
+                    "id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+                    "score": pa.array([5, 9, 9, 1, 7, 7], pa.int64())})
+    top = topk_per_group(rd.from_arrow(tbl), "g", "score", 2, "id")
+    got = list(zip(top["g"], top["id"], top["rank"]))
+    # x: score 9 (ids 1,2 — tie broken by id), y: 7 (ids 4,5)
+    assert got == [("x", 1, 0), ("x", 2, 1), ("y", 4, 0), ("y", 5, 1)]
