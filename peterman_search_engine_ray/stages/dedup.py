@@ -39,7 +39,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Min
 
 from ..functions.textstats import md5_lower64_arr, raw_tokens
 from .shuffle import hash_partition as _hash_partition
