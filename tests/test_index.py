@@ -322,3 +322,36 @@ def test_positions_gather_matches_bulk(built):
                 assert g is not None
                 assert np.array_equal(g[0], bulk[0][mask])
                 assert np.array_equal(g[1], bulk[1][mask])
+
+
+def test_extend_twice_equals_full_build(ray_session, tmp_path_factory):
+    """Two successive extensions must still match the one-shot build."""
+    import filecmp
+    from peterman_search_engine_ray.corpus import _wrap_batch, synth_rows
+    from peterman_search_engine_ray.pipelines.build import (build_index,
+                                                            extend_index)
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    import ray.data as rd
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=4,
+                      block_size=8, positional=True)
+    all_rows = synth_rows(60)
+    full_dir = str(tmp_path_factory.mktemp("idx_full2"))
+    inc_dir = str(tmp_path_factory.mktemp("idx_inc2"))
+    build_index(rd.from_arrow(_wrap_batch(all_rows)), full_dir, cfg)
+    build_index(rd.from_arrow(_wrap_batch(all_rows.slice(0, 30))),
+                inc_dir, cfg, input_token="gen0")
+    extend_index(rd.from_arrow(_wrap_batch(all_rows.slice(30, 15))),
+                 inc_dir, cfg)
+    extend_index(rd.from_arrow(_wrap_batch(all_rows.slice(45, 15))),
+                 inc_dir, cfg)
+    rf, ri = IndexReader(full_dir), IndexReader(inc_dir)
+    assert ri.manifest["n_docs"] == 60
+    assert abs(ri.manifest["avgdl"] - rf.manifest["avgdl"]) < 1e-12
+    for fn in sorted(os.listdir(os.path.join(full_dir, "segments"))):
+        if fn.endswith(".bin"):
+            assert filecmp.cmp(os.path.join(full_dir, "segments", fn),
+                               os.path.join(inc_dir, "segments", fn),
+                               shallow=False), fn
+    d1, s1 = rf.bm25_topk_auto(["peterman", "grape"], 10)
+    d2, s2 = ri.bm25_topk_auto(["peterman", "grape"], 10)
+    assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
