@@ -539,6 +539,38 @@ class IndexReader:
                              minlength=uniq.size)
         return uniq, scores
 
+    def _accumulate2(self, docs_list, a_list, b_list
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Like :meth:`_accumulate` but sums TWO contribution streams in one
+        pass over the postings (the TF-IDF dot and query-terms veclen)."""
+        bound = self._dense_bound()
+        if bound is not None:
+            if self._acc_buf is None or self._acc_buf.size < bound:
+                self._acc_buf = np.zeros(bound, np.float64)
+                self._mark_buf = np.zeros(bound, np.uint8)
+            if getattr(self, "_acc2_buf", None) is None \
+                    or self._acc2_buf.size < bound:
+                self._acc2_buf = np.zeros(bound, np.float64)
+            acc, acc2, mark = self._acc_buf, self._acc2_buf, self._mark_buf
+            for d, ca, cb in zip(docs_list, a_list, b_list):
+                acc[d] += ca
+                acc2[d] += cb
+                mark[d] = 1
+            matched = np.flatnonzero(mark)
+            s1 = acc[matched].copy()
+            s2 = acc2[matched].copy()
+            acc[matched] = 0.0
+            acc2[matched] = 0.0
+            mark[matched] = 0
+            return matched, s1, s2
+        docs = np.concatenate(docs_list)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        s1 = np.bincount(inv, weights=np.concatenate(a_list),
+                         minlength=uniq.size)
+        s2 = np.bincount(inv, weights=np.concatenate(b_list),
+                         minlength=uniq.size)
+        return uniq, s1, s2
+
     def bm25_topk(self, keywords, k: int | None = 10
                   ) -> tuple[np.ndarray, np.ndarray]:
         """Exact term-at-a-time BM25 (the un-pruned baseline scorer)."""
@@ -660,23 +692,33 @@ class IndexReader:
         qtf: dict[str, float] = {}
         for t in toks:
             qtf[t] = qtf.get(t, 0.0) + 1.0
+        tcache = getattr(self, "_tfidf_cache", None)
+        if tcache is None:
+            tcache = self._tfidf_cache = {}
         docs_all, dot_all, len_all = [], [], []
         for t, q in qtf.items():
-            df = self.doc_freq(t)
-            if df == 0:
+            hit = tcache.get(t)
+            if hit is None:
+                df = self.doc_freq(t)
+                if df == 0:
+                    tcache[t] = ()
+                    continue
+                idf = math.log10(self.n_docs / df)
+                doc_ids, tf, _ = self.postings(t)
+                tfidf = tf.astype(np.float64) * idf
+                hit = (doc_ids, idf, tfidf, tfidf * tfidf)
+                if len(tcache) >= self._post_cache_max:
+                    tcache.pop(next(iter(tcache)))
+                tcache[t] = hit
+            if not hit:
                 continue
-            idf = math.log10(self.n_docs / df)
-            doc_ids, tf, _ = self.postings(t)
-            tfidf = tf.astype(np.float64) * idf
+            doc_ids, idf, tfidf, tfidf_sq = hit
             docs_all.append(doc_ids)
             dot_all.append(tfidf * (q * idf))
-            len_all.append(tfidf * tfidf)
+            len_all.append(tfidf_sq)
         if not docs_all:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        uniq, dot = self._accumulate(docs_all, dot_all)
-        # align the veclen accumulation to the same matched-doc order
-        uniq2, veclen = self._accumulate(docs_all, len_all)
-        assert uniq2.shape == uniq.shape
+        uniq, dot, veclen = self._accumulate2(docs_all, dot_all, len_all)
         with np.errstate(divide="ignore", invalid="ignore"):
             scores = np.where(veclen > 0, dot / np.sqrt(veclen), 0.0)
         return self._topk(uniq, scores, k)
@@ -725,6 +767,8 @@ class IndexReader:
         self._tomb_cache = None
         self._post_cache.clear()
         self._contrib_cache.clear()
+        getattr(self, "_tfidf_cache", {}).clear()
+        getattr(self, "_phrase_key_cache", {}).clear()
         return len(cur)
 
     def _filter_tombstones(self, doc_ids: np.ndarray, *arrays):
