@@ -310,6 +310,18 @@ def q_top_docs_per_source(sf_dir: str):
     return out
 
 
+def q_curate_corpus(sf_dir: str):
+    """Composite corpus curation (quality → exact dedup → near-dup
+    removal → resumable range-partitioned parquet): returns surviving
+    doc_ids; the partitioned output is written under /tmp and skipped
+    wholesale on re-runs whose fingerprint validates."""
+    from .curate import curate_corpus
+    out_dir = index_dir_for(sf_dir, "curated")
+    return curate_corpus(_docs(sf_dir), out_dir,
+                         tau_num=_TAU_NUM, tau_den=_TAU_DEN,
+                         input_token=os.path.basename(sf_dir))
+
+
 def q_extend_search(sf_dir: str):
     """Incremental-extension correctness, driver-visible: build the index
     over the first 80% of documents, ``extend_index`` with the remaining
@@ -507,6 +519,7 @@ def queries():
         "windowed_counts": q_windowed_counts,
         "sessionize": q_sessionize,
         "orders_by_nation": q_orders_by_nation,
+        "curate_corpus": q_curate_corpus,
         "top_docs_per_source": q_top_docs_per_source,
         # rows-only (non-SQL-expressible: stemming / sketches / iterative)
         "bm25_top10_stemmed": q_bm25_top10_stemmed,
@@ -699,6 +712,22 @@ SELECT count(*) AS n_postings, count(DISTINCT term) AS n_terms FROM tf""",
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
 
         "ngram_jaccard": ngram,
+
+        "curate_corpus": f"""
+WITH s AS (SELECT doc_id,
+  len({_TS_RAW}) AS n_tokens,
+  len(list_filter({_TS_RAW}, x -> x IN ({_STOP_IN}))) AS n_stop,
+  len(list_distinct({_TS_RAW})) AS n_types
+FROM documents),
+quality AS (SELECT doc_id FROM s
+  WHERE n_tokens >= 10 AND n_stop * 10 <= n_tokens * 6
+    AND n_types * 2 >= n_tokens),
+winners AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT doc_id FROM quality)
+  AND doc_id IN (SELECT doc_id FROM winners)
+  AND doc_id NOT IN (SELECT b FROM ({ngram}))
+ORDER BY doc_id""",
 
         "orders_by_nation": """
 SELECT n.n_name AS n_name, count(*) AS n_orders

@@ -279,3 +279,38 @@ def test_broadcast_join_and_topk_per_group(ray_session):
     got = list(zip(top["g"], top["id"], top["rank"]))
     # x: score 9 (ids 1,2 — tie broken by id), y: 7 (ids 4,5)
     assert got == [("x", 1, 0), ("x", 2, 1), ("y", 4, 0), ("y", 5, 1)]
+
+
+def test_curate_corpus(ray_session, tmp_path):
+    import os
+    import ray.data as rd
+    from peterman_search_engine_ray.pipelines.curate import curate_corpus
+    out_dir = str(tmp_path / "curated")
+    base = ("the quick brown fox jumps over the lazy dog and then naps "
+            "under a warm maple tree near the river bend every day")
+    texts = [
+        base,                                  # 0: keeper
+        base.replace("dog", "cat"),            # 1: near-dup of 0 -> removed
+        "totally different words about engines pipelines shuffles "
+        "segments postings queries rankings caches benchmarks",  # 2 keeper
+        base,                                  # 3: exact dup of 0 -> removed
+        "tiny doc",                            # 4: fails quality
+        "",                                    # 5: fails quality
+    ]
+    tbl = pa.table({"doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                    "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(tbl)
+    got = curate_corpus(ds, out_dir, tau_num=1, tau_den=2)
+    ids = set(got["doc_id"])
+    assert 0 in ids and 2 in ids
+    assert 3 not in ids          # exact-dup loser
+    assert 1 not in ids          # near-dup loser (larger id of pair (0,1))
+    assert 4 not in ids and 5 not in ids      # fail quality
+    # partitioned output on disk + resume manifest
+    assert any(d.startswith("r=") for d in os.listdir(out_dir))
+    import pyarrow.dataset as pads
+    written = pads.dataset(out_dir, partitioning="hive").to_table()
+    assert set(written["doc_id"].to_pylist()) == ids
+    # second run with identical fingerprint skips the write (manifest valid)
+    again = curate_corpus(ds, out_dir, tau_num=1, tau_den=2)
+    assert set(again["doc_id"]) == ids
