@@ -310,6 +310,21 @@ def q_top_docs_per_source(sf_dir: str):
     return out
 
 
+def q_sharded_bm25(sf_dir: str):
+    """BM25 top-10 through the document-partitioned serving layer (one
+    searcher actor per doc range, global df combined on the driver,
+    per-shard top-k merged) — must be rank-identical to the single-reader
+    path, so the plain BM25 SQL is the oracle."""
+    from .serve import ShardedIndex
+    get_reader(sf_dir)                 # ensure the index is built/cached
+    sharded = ShardedIndex(index_dir_for(sf_dir, "nostem"))
+    try:
+        d, _ = sharded.bm25_topk(list(_BM25_TERMS), 10)
+    finally:
+        sharded.shutdown()
+    return pd.DataFrame({"doc_id": pd.Series(np.sort(d), dtype=np.int64)})
+
+
 def q_curate_corpus(sf_dir: str):
     """Composite corpus curation (quality → exact dedup → near-dup
     removal → resumable range-partitioned parquet): returns surviving
@@ -520,6 +535,7 @@ def queries():
         "sessionize": q_sessionize,
         "orders_by_nation": q_orders_by_nation,
         "curate_corpus": q_curate_corpus,
+        "sharded_bm25": q_sharded_bm25,
         "top_docs_per_source": q_top_docs_per_source,
         # rows-only (non-SQL-expressible: stemming / sketches / iterative)
         "bm25_top10_stemmed": q_bm25_top10_stemmed,
@@ -698,6 +714,7 @@ WHERE ' ' || array_to_string(ts, ' ') || ' ' LIKE '% {phrase} %'
 ORDER BY doc_id""",
 
         "bm25_top10": bm25,
+        "sharded_bm25": bm25,
         "tfidf_top10": tfidf,
 
         "index_stats": f"""
