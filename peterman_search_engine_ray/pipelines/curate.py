@@ -39,7 +39,8 @@ from ..stages.dedup import exact_dedup, minhash_lsh_pairs
 
 def curate_corpus(docs_ds: "ray.data.Dataset", out_dir: str | None = None,
                   *, tau_num: int = 1, tau_den: int = 2,
-                  range_bits: int = 12, input_token=None) -> pd.DataFrame:
+                  range_bits: int = 12, input_token=None,
+                  near_pairs: pd.DataFrame | None = None) -> pd.DataFrame:
     """Run the full curation over (doc_id, text); returns the surviving
     doc_ids (sorted DataFrame).  If ``out_dir`` is given, survivors are
     also written as range-partitioned parquet with a resume manifest."""
@@ -62,7 +63,8 @@ def curate_corpus(docs_ds: "ray.data.Dataset", out_dir: str | None = None,
     winners = set(wdf["doc_id"].tolist()) if "doc_id" in wdf else set()
 
     # 3. near-dup losers: larger id of every verified pair
-    pairs = minhash_lsh_pairs(docs_ds, tau_num=tau_num, tau_den=tau_den)
+    pairs = (near_pairs if near_pairs is not None else
+             minhash_lsh_pairs(docs_ds, tau_num=tau_num, tau_den=tau_den))
     near_losers = set(pairs["b"].tolist())
 
     keep = np.array(sorted((quality & winners) - near_losers),

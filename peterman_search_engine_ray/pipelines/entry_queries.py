@@ -334,7 +334,8 @@ def q_curate_corpus(sf_dir: str):
     out_dir = index_dir_for(sf_dir, "curated")
     return curate_corpus(_docs(sf_dir), out_dir,
                          tau_num=_TAU_NUM, tau_den=_TAU_DEN,
-                         input_token=os.path.basename(sf_dir))
+                         input_token=os.path.basename(sf_dir),
+                         near_pairs=_minhash_pairs_cached(sf_dir))
 
 
 def q_extend_search(sf_dir: str):
@@ -379,14 +380,26 @@ def q_bm25_top10_stemmed(sf_dir: str):
                          "score": s})
 
 
+_minhash_memo: dict = {}
+
+
+def _minhash_pairs_cached(sf_dir: str):
+    out = _minhash_memo.get(sf_dir)
+    if out is None:
+        from ..stages.dedup import minhash_lsh_pairs
+        out = minhash_lsh_pairs(_docs(sf_dir), tau_num=_TAU_NUM,
+                                tau_den=_TAU_DEN)
+        _minhash_memo[sf_dir] = out
+    return out
+
+
 def q_minhash_pairs(sf_dir: str):
     """Near-dup pairs with exact Jaccard ≥ 1/2, found via MinHash-LSH
     banding + distributed exact verification.  Oracle = the all-pairs
     exact-Jaccard SQL (sound as long as banding recall covers every true
     pair — bands=32×2 rows makes a miss at J≥0.5 < 1e-4, and the testdata
     pairs are comfortably above threshold)."""
-    from ..stages.dedup import minhash_lsh_pairs
-    return minhash_lsh_pairs(_docs(sf_dir), tau_num=_TAU_NUM, tau_den=_TAU_DEN)
+    return _minhash_pairs_cached(sf_dir)
 
 
 def q_simhash_pairs(sf_dir: str):
