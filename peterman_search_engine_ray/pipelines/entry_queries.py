@@ -267,6 +267,14 @@ def q_windowed_counts(sf_dir: str):
     return windowed_counts(_events(sf_dir))
 
 
+def q_props_stats(sf_dir: str):
+    """JSON props extraction + per-type aggregate (map-side partials)."""
+    from ..stages.events import props_stats
+    return props_stats(ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"]))
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization (30 min) per user over the event log —
     the stateful streaming-window op, hash-partitioned by user with a
@@ -546,6 +554,7 @@ def queries():
         "extend_search": q_extend_search,
         "windowed_counts": q_windowed_counts,
         "sessionize": q_sessionize,
+        "props_stats": q_props_stats,
         "orders_by_nation": q_orders_by_nation,
         "curate_corpus": q_curate_corpus,
         "sharded_bm25": q_sharded_bm25,
@@ -778,6 +787,14 @@ SELECT event_type,
        count(*) AS n,
        min(event_id) AS min_id, max(event_id) AS max_id
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+        "props_stats": """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1 ORDER BY 1""",
 
         "sessionize": """
 WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus, event_id

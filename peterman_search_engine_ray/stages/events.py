@@ -132,3 +132,38 @@ def sessionize(events_ds: "ray.data.Dataset",
            .to_pandas())
     return (out.sort_values(["user_id", "session_id"])
                .reset_index(drop=True))
+
+
+def props_stats(events_ds: "ray.data.Dataset") -> pd.DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON column per
+    event (stdlib json per row — the inherent cost of schemaless payloads;
+    swap in a SIMD JSON parser at scale) and aggregate the extracted
+    integer field per event_type.  Map-side partials only cross the wire."""
+    import json
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_k": pa.array([], pa.int64()),
+                             "min_k": pa.array([], pa.int64()),
+                             "max_k": pa.array([], pa.int64())})
+        ks = np.fromiter((int(json.loads(pr)["k"])
+                          for pr in batch["props"].to_pylist()),
+                         dtype=np.int64, count=batch.num_rows)
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                           "k": ks})
+        g = (df.groupby("event_type", sort=False)["k"]
+               .agg(n="count", sum_k="sum", min_k="min", max_k="max")
+               .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = events_ds.select_columns(["event_type", "props"]).map_batches(
+        partials, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("event_type", sort=False)
+           .agg(n=("n", "sum"), sum_k=("sum_k", "sum"),
+                min_k=("min_k", "min"), max_k=("max_k", "max"))
+           .reset_index())
+    for c in ("n", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
