@@ -184,10 +184,15 @@ def _sum_pairs_block(batch: pa.Table) -> pa.Table:
                      "inter": pa.array(sums)})
 
 
-def _doc_shingle_counts(k: int):
+def _doc_shingle_counts(k: int, need_ref=None):
     """Map-side per-doc shingle-set sizes — no shuffle needed (each doc is
-    one input row)."""
+    one input row).  ``need_ref``: optional broadcast id array; only those
+    docs' sizes are emitted (keeps the driver frame candidate-scale)."""
     def fn(batch: pa.Table) -> pa.Table:
+        if need_ref is not None:
+            import ray as _ray
+            keep = np.isin(batch["doc_id"].to_numpy(), _ray.get(need_ref))
+            batch = batch.filter(pa.array(keep))
         ids = batch["doc_id"].to_numpy()
         ns = np.fromiter((len(shingle_set(t or "", k))
                           for t in batch["text"].to_pylist()),
@@ -222,7 +227,12 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", k: int = 2,
     if pair_counts.empty:
         return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                              "b": pd.Series([], dtype=np.int64)})
-    sizes = (ds.map_batches(_doc_shingle_counts(k), batch_format="pyarrow")
+    # sizes only for docs that appear in some candidate pair — the driver
+    # frame stays candidate-scale even when the corpus is not
+    import ray as _ray
+    need_ids = np.unique(pair_counts[["a", "b"]].to_numpy())
+    sizes = (ds.map_batches(_doc_shingle_counts(k, _ray.put(need_ids)),
+                            batch_format="pyarrow")
                .to_pandas().set_index("doc_id")["n"])
     na = sizes.reindex(pair_counts["a"]).to_numpy()
     nb = sizes.reindex(pair_counts["b"]).to_numpy()
