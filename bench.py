@@ -35,7 +35,7 @@ def run_scaling() -> None:
     lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "8"))
 
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
