@@ -531,3 +531,71 @@ def embedding_neardup_lsh_pairs(emb_ds: "ray.data.Dataset", tau: float = 0.9,
     out = cand.loc[cos >= tau, ["a", "b"]]
     return (out.sort_values(["a", "b"]).reset_index(drop=True)
             if len(out) else empty)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (vocabulary-size estimation at 100 TB:
+# exact distinct term counting needs a full dedup shuffle; an HLL register
+# bank is 2^p bytes per task and merges with an elementwise max)
+# ---------------------------------------------------------------------------
+
+class HllSketch:
+    """Vectorized HyperLogLog over md5-lower-64 hashes.
+
+    ``add_batch`` folds a token array into the 2^p register bank (numpy
+    scatter-max); banks from different tasks ``merge`` by elementwise max,
+    so the whole reduction is a tree of tiny fixed-size arrays — the
+    map_batches → reduce shape with O(2^p) shuffle volume per task."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.reg = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        h = h.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of the remaining bits + 1, via float exponent
+        # (values within 2^11 of 2^64 round UP in float64 -> clip at 0)
+        lz = 63 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
+        rank = (np.clip(lz, 0, 62) + 1).astype(np.uint8)
+        np.maximum.at(self.reg, idx, rank)
+
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        assert other.p == self.p
+        np.maximum(self.reg, other.reg, out=self.reg)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        s = np.sum(np.power(2.0, -self.reg.astype(np.float64)))
+        e = alpha * m * m / s
+        zeros = int((self.reg == 0).sum())
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)          # linear counting regime
+        return float(e)
+
+
+def hll_distinct_terms(ds: "ray.data.Dataset", p: int = 12) -> float:
+    """Approximate distinct-token count over (doc_id, text): one HLL bank
+    per batch (map-side), elementwise-max reduced on the driver — O(2^p)
+    bytes cross the wire per task regardless of corpus size."""
+
+    def bank(batch: pa.Table) -> pa.Table:
+        sk = HllSketch(p)
+        toks: set[str] = set()
+        for t in batch["text"].to_pylist():
+            toks.update(raw_tokens(t or ""))
+        if toks:
+            sk.add_hashes(md5_lower64_arr(sorted(toks)))
+        return pa.table({"reg": pa.array([sk.reg.tobytes()], pa.binary())})
+
+    banks = ds.map_batches(bank, batch_format="pyarrow").to_pandas()
+    total = HllSketch(p)
+    for b in banks["reg"]:
+        other = HllSketch(p)
+        other.reg = np.frombuffer(b, dtype=np.uint8).copy()
+        total.merge(other)
+    return total.estimate()

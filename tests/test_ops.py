@@ -314,3 +314,16 @@ def test_curate_corpus(ray_session, tmp_path):
     # second run with identical fingerprint skips the write (manifest valid)
     again = curate_corpus(ds, out_dir, tau_num=1, tau_den=2)
     assert set(again["doc_id"]) == ids
+
+
+def test_hll_distinct_terms(ray_session):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from peterman_search_engine_ray.functions.textstats import raw_tokens
+    from peterman_search_engine_ray.stages.dedup import hll_distinct_terms
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                        columns=["doc_id", "text"])
+    exact = len({t for x in tbl["text"].to_pylist() for t in raw_tokens(x or "")})
+    est = hll_distinct_terms(rd.from_arrow(tbl), p=12)
+    # 2^12 registers -> ~1.6% standard error; allow 3 sigma
+    assert abs(est - exact) / exact < 0.05, (est, exact)
