@@ -78,3 +78,39 @@ def test_empty_corpus_build(ray_session, tmp_path):
     m = build_index(rd.from_arrow(_wrap_batch(tbl)), idx,
                     IndexConfig(num_term_partitions=2))
     assert m["n_docs"] == 0 and m["segments"] == []
+
+
+@pytest.mark.parametrize("seed", [11, 77, 301])
+def test_randomized_rank_identity(ray_session, tmp_path, seed):
+    """Random corpora (fresh vocab/zipf mix per seed): every query mode must
+    match the brute-force oracle — rank identity for BM25/TF-IDF, set
+    equality for boolean/phrase."""
+    import pandas as pd
+    from peterman_search_engine_ray.pipelines.oracle import FullScanOracle
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(30)] + ["the", "and", "of"]  # + stopwords
+    texts = []
+    for i in range(80):
+        n = rng.randint(1, 40)
+        words = rng.choice(vocab, size=n,
+                           p=np.arange(len(vocab), 0, -1.0)
+                           / np.arange(len(vocab), 0, -1.0).sum())
+        texts.append(" ".join(words))
+    r = _build(ray_session, tmp_path / str(seed), texts,
+               analyzer="porter")
+    oracle = FullScanOracle(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts}), analyzer="porter")
+    qs = [["w0"], ["w1", "w2"], ["w5", "w0", "w3"], ["w29"], ["nosuch"]]
+    for q in qs:
+        d, s = r.bm25_topk_auto(q, 10)
+        od, os_ = oracle.bm25_topk(q, 10)
+        assert d.tolist() == od.tolist(), (q, seed)
+        assert np.allclose(s, os_), (q, seed)
+        assert sorted(r.search_and(q).tolist()) == \
+            sorted(oracle.search_and(q).tolist())
+        assert sorted(r.search_or(q).tolist()) == \
+            sorted(oracle.search_or(q).tolist())
+    for ph in (["w0", "w1"], ["w3", "w3"], ["w2", "w0", "w1"]):
+        assert sorted(r.search_phrase(ph).tolist()) == \
+            sorted(oracle.search_phrase(ph).tolist()), (ph, seed)
