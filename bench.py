@@ -16,7 +16,7 @@ GRAFT_SCALING_LO/HI override, best-of-GRAFT_SCALING_REPS per level) and
 report both throughputs + scaling efficiency — the sandbox stand-in for
 the north rule's N-node vs 4N-node clusters.  Measured: 2→8 = 0.876;
 past ~8 workers one box's aggregate ceiling (~133k docs/s) dominates —
-tools/bus_probe.py shows the kernels themselves inflate only ~1.27× at 32
+tools/bus_probe.py shows the kernels themselves inflate only ~1.3× at 32
 processes, so the ceiling is shared single-box infrastructure that a real
 multi-node cluster does not share (full analysis in BASELINE.md).
 """

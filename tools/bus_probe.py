@@ -44,10 +44,12 @@ def _work_full(q):
     from peterman_search_engine_ray.corpus import _wrap_batch
     from peterman_search_engine_ray.stages.tokenize import (ExtractTokenize,
                                                             make_explode)
+    import numpy as np
     t = pq.read_table("/root/testdata/sf0.1/documents.parquet",
                       columns=["doc_id", "text", "lang"])
     tok = ExtractTokenize("porter", positional=True, from_html=True)
     explode = make_explode(128, 18, True)
+    n_groups = 128
     d = f"/dev/shm/busprobe-{os.getpid()}"
     os.makedirs(d, exist_ok=True)
     opts = pa.ipc.IpcWriteOptions(compression="lz4")
@@ -57,10 +59,21 @@ def _work_full(q):
         f = tok(w)
         pq.write_table(f, os.path.join(d, f"{uuid.uuid4().hex[:8]}.parquet"))
         ex = explode(f).combine_chunks()
-        path = os.path.join(d, f"{uuid.uuid4().hex[:8]}.arrow")
-        with pa.OSFile(path, "wb") as fh, \
-                pa.ipc.new_stream(fh, ex.schema, options=opts) as wr:
-            wr.write_table(ex)
+        # mirror build.py's scatter exactly: group sort + per-group streams
+        part = ex["part"].to_numpy()
+        group = part % n_groups
+        order = np.argsort(group, kind="stable")
+        ex = ex.take(order)
+        group = group[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], group[1:] != group[:-1])))
+        ends = np.append(starts[1:], group.size)
+        uid = uuid.uuid4().hex[:8]
+        for s, e in zip(starts, ends):
+            path = os.path.join(d, f"g{int(group[s])}-{uid}.arrow")
+            with pa.OSFile(path, "wb") as fh, \
+                    pa.ipc.new_stream(fh, ex.schema, options=opts) as wr:
+                wr.write_table(ex.slice(s, e - s))
     dt = time.perf_counter() - t0
     import shutil
     shutil.rmtree(d, ignore_errors=True)
