@@ -88,6 +88,21 @@ def cmd_extend(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    ray = _ray_init(args.num_cpus)
+    from .config import IndexConfig
+    from .pipelines.build import compact_index
+    cfg = IndexConfig(num_term_partitions=args.partitions,
+                      doc_range_bits=args.doc_range_bits,
+                      positional=not args.no_positions,
+                      analyzer=args.analyzer)
+    manifest = compact_index(args.index, cfg)
+    print(json.dumps({"n_docs": manifest["n_docs"],
+                      "n_segments": len(manifest["segments"])}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args) -> int:
     from .pipelines.query import IndexReader
     r = IndexReader(args.index)
@@ -160,6 +175,16 @@ def main(argv=None) -> int:
     e.add_argument("--no-positions", action="store_true")
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_extend)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--analyzer", default="porter",
+                    choices=["porter", "nostem", "naive"])
+    cp.add_argument("--partitions", type=int, default=64)
+    cp.add_argument("--doc-range-bits", type=int, default=20)
+    cp.add_argument("--no-positions", action="store_true")
+    cp.add_argument("--num-cpus", type=int, default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)

@@ -658,3 +658,128 @@ def extend_index(corpus_new: "ray.data.Dataset", index_dir: str,
     })
     mf.atomic_write_json(manifest_path, m)
     return m
+
+
+def _fwd_doc_stats(fwd_dir: str) -> tuple[int, int]:
+    """(n_docs, total_len) from the checkpoint's pruned doc_len column."""
+    has_fwd = os.path.isdir(fwd_dir) and any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(fwd_dir) for f in fs)
+    if not has_fwd:
+        return 0, 0
+
+    def _dl(bt: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([bt.num_rows], pa.int64()),
+            "s": pa.array([int(pc.sum(bt["doc_len"]).as_py() or 0)],
+                          pa.int64())})
+    agg = (ray.data.read_parquet(fwd_dir, columns=["doc_len"])
+           .map_batches(_dl, batch_format="pyarrow").to_pandas())
+    return int(agg["n"].sum()), int(agg["s"].sum())
+
+
+def compact_index(index_dir: str, cfg: IndexConfig | None = None) -> dict:
+    """Physically remove tombstoned documents.
+
+    Deletes are tombstone manifests applied at read time (reference
+    deleteDocuments is an unimplemented stub; we exceed it) — compaction
+    makes them physical: ONLY the doc ranges containing tombstones are
+    rebuilt (their forward partitions rewritten without the deleted rows,
+    their segments re-encoded from those rows); every other range's files
+    are never read or written.  The result is byte-identical to building
+    the surviving corpus from scratch (tested), and the tombstone manifest
+    is cleared.
+    """
+    cfg = cfg or IndexConfig()
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    m = mf.read_json(manifest_path)
+    if not m:
+        raise FileNotFoundError(f"no index manifest in {index_dir}")
+    if m["cfg"] != _cfg_key(cfg):
+        raise ValueError("compact_index cfg does not match the existing index")
+    tomb_path = os.path.join(index_dir, "tombstones.json")
+    tombs = np.asarray(mf.read_json(tomb_path) or [], dtype=np.int64)
+    if tombs.size == 0:
+        return m
+    import shutil as _shutil
+    fwd_dir = os.path.join(index_dir, "forward")
+    P = cfg.num_term_partitions
+    bits = cfg.doc_range_bits
+    explode_fn = make_explode(P, bits, cfg.positional)
+    affected = sorted({int(d) for d in (tombs >> bits)})
+    tomb_ref = ray.put(tombs)
+    seg_root = os.path.join(index_dir, "segments")
+    old_parts_by_dr: dict[int, list[int]] = {}
+    for r in m["segments"]:
+        old_parts_by_dr.setdefault(int(r["dr"]), []).append(int(r["part"]))
+
+    def compact_range(batch: pa.Table) -> pa.Table:
+        rows = []
+        for dr in batch["dr"].to_pylist():
+            rdir = os.path.join(fwd_dir, f"r={dr}")
+            frags = ([os.path.join(rdir, f) for f in sorted(os.listdir(rdir))
+                      if f.endswith(".parquet")]
+                     if os.path.isdir(rdir) else [])
+            tbl = (pa.concat_tables([pq.read_table(f) for f in frags])
+                   if frags else None)
+            dead = ray.get(tomb_ref)
+            if tbl is not None:
+                keep = ~np.isin(tbl["doc_id"].to_numpy(), dead)
+                tbl = tbl.filter(pa.array(keep))
+            # rewrite the forward partition (single compacted fragment)
+            import uuid
+            _shutil.rmtree(rdir, ignore_errors=True)
+            if tbl is not None and tbl.num_rows:
+                os.makedirs(rdir, exist_ok=True)
+                pq.write_table(tbl, os.path.join(
+                    rdir, f"fwd-{uuid.uuid4().hex[:12]}.parquet"))
+            # re-encode this range's segments from the surviving rows
+            present: set[int] = set()
+            if tbl is not None and tbl.num_rows:
+                ex = explode_fn(tbl).combine_chunks()
+                if ex.num_rows:
+                    stats = encode_parts_block(index_dir, cfg, ex)
+                    rows.append(stats)
+                    present = {int(p) for p in stats["part"].to_pylist()}
+            # parts that existed before but have no surviving postings
+            for part in old_parts_by_dr.get(int(dr), []):
+                if part in present:
+                    continue
+                tp = part % P
+                for suffix in (".bin", ".dir.parquet", ".meta.json"):
+                    p = os.path.join(seg_root, f"seg-{tp}-{dr}{suffix}")
+                    if os.path.exists(p):
+                        os.remove(p)
+                rows.append(_manifest_row(part=-part - 1, tp=tp, dr=int(dr),
+                                          seg="", n_terms=0, n_postings=0,
+                                          resumed=False))
+        if not rows:
+            return _manifest_row(part=-1, tp=-1, dr=-1, seg="", n_terms=0,
+                                 n_postings=0, resumed=False).slice(0, 0)
+        return pa.concat_tables(rows)
+
+    seg_stats = (ray.data.from_items([{"dr": dr} for dr in affected])
+                 .repartition(len(affected))
+                 .map_batches(compact_range, batch_format="pyarrow")
+                 .to_pandas())
+
+    by_part = {int(r["part"]): r for r in m["segments"]}
+    # drop every old row of the affected ranges, then re-add survivors
+    for dr in affected:
+        for part in old_parts_by_dr.get(dr, []):
+            by_part.pop(part, None)
+    if len(seg_stats):
+        for r in seg_stats.drop(columns=["resumed"]).to_dict("records"):
+            if r["part"] >= 0:
+                by_part[int(r["part"])] = r
+    n_docs, total_len = _fwd_doc_stats(fwd_dir)
+    m.update({
+        "n_docs": n_docs,
+        "total_len": total_len,
+        "avgdl": (total_len / n_docs) if n_docs else 0.0,
+        "segments": [by_part[k] for k in sorted(by_part)],
+        "n_resumed_segments": 0,
+    })
+    mf.atomic_write_json(manifest_path, m)
+    mf.atomic_write_json(tomb_path, [])
+    return m

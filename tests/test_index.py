@@ -355,3 +355,53 @@ def test_extend_twice_equals_full_build(ray_session, tmp_path_factory):
     d1, s1 = rf.bm25_topk_auto(["peterman", "grape"], 10)
     d2, s2 = ri.bm25_topk_auto(["peterman", "grape"], 10)
     assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+
+
+def test_compact_equals_build_without_deleted(ray_session, tmp_path_factory):
+    """delete_documents + compact_index must be byte-identical to building
+    the surviving corpus from scratch, clear the tombstones, and leave
+    unaffected ranges' files untouched (same mtime)."""
+    import filecmp
+    from peterman_search_engine_ray.corpus import _wrap_batch, synth_rows
+    from peterman_search_engine_ray.pipelines.build import (build_index,
+                                                            compact_index)
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    import ray.data as rd
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=4,
+                      block_size=8, positional=True)
+    import pyarrow as pa
+    all_rows = synth_rows(60)
+    dead = [5, 17, 40]                       # ranges 0, 1 and 2 affected
+    keep_tbl = all_rows.filter(
+        pa.array([i not in dead for i in range(60)]))
+
+    ref_dir = str(tmp_path_factory.mktemp("idx_ref"))
+    cmp_dir = str(tmp_path_factory.mktemp("idx_cmp"))
+    build_index(rd.from_arrow(_wrap_batch(keep_tbl)), ref_dir, cfg)
+    build_index(rd.from_arrow(_wrap_batch(all_rows)), cmp_dir, cfg)
+    r = IndexReader(cmp_dir)
+    r.delete_documents(dead)
+    untouched_seg = os.path.join(cmp_dir, "segments", "seg-0-3.bin")
+    mtime_before = os.path.getmtime(untouched_seg)
+    compact_index(cmp_dir, cfg)
+
+    assert os.path.getmtime(untouched_seg) == mtime_before  # range 3 untouched
+    rc = IndexReader(cmp_dir)
+    rr = IndexReader(ref_dir)
+    assert rc.manifest["n_docs"] == 57
+    assert abs(rc.manifest["avgdl"] - rr.manifest["avgdl"]) < 1e-12
+    assert rc._tombstones().size == 0
+    ref_segs = {f for f in os.listdir(os.path.join(ref_dir, "segments"))
+                if f.endswith(".bin")}
+    cmp_segs = {f for f in os.listdir(os.path.join(cmp_dir, "segments"))
+                if f.endswith(".bin")}
+    assert ref_segs == cmp_segs
+    for fn in sorted(ref_segs):
+        assert filecmp.cmp(os.path.join(ref_dir, "segments", fn),
+                           os.path.join(cmp_dir, "segments", fn),
+                           shallow=False), fn
+    for q in (["peterman"], ["grape", "honeydew"]):
+        d1, s1 = rr.bm25_topk_auto(q, 10)
+        d2, s2 = rc.bm25_topk_auto(q, 10)
+        assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+    assert sorted(rc.get_docs(np.array([5, 6]))["doc_id"].tolist()) == [6]
