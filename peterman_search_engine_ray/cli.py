@@ -4,6 +4,7 @@
         --index /tmp/idx [--analyzer porter] [--partitions 64] [--no-positions]
     python -m peterman_search_engine_ray.cli query --index /tmp/idx \
         [--mode bm25|bm25_pruned|tfidf|and|or|phrase] [-k 10] TERMS...
+    python -m peterman_search_engine_ray.cli compact --index /tmp/idx
     python -m peterman_search_engine_ray.cli stats --index /tmp/idx
     python -m peterman_search_engine_ray.cli delete --index /tmp/idx DOC_ID...
 
