@@ -44,7 +44,13 @@ def cmd_build(args) -> int:
 
     ds = rd.read_parquet(args.input)
     cols = set(ds.schema().names)
-    if "html" not in cols:
+    if "html" in cols:
+        if "doc_id" not in cols:
+            # the Common-Crawl input_hint schema carries no doc_id —
+            # assign stable dense ids from parquet-footer offsets
+            from .corpus import read_webpages
+            ds = read_webpages(args.input)
+    else:
         if not {"doc_id", "text"} <= cols:
             print("input needs (url, warc_ts, html, text, lang) or "
                   "(doc_id, text)", file=sys.stderr)

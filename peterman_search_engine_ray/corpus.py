@@ -147,3 +147,46 @@ def synth_rows(n: int, seed: int = 42) -> pa.Table:
 
 def synth_webpages(n: int, seed: int = 42) -> "ray.data.Dataset":
     return ray.data.from_arrow(_wrap_batch(synth_rows(n, seed)))
+
+
+def read_webpages(input_path: str, columns: list[str] | None = None
+                  ) -> "ray.data.Dataset":
+    """Read a Common-Crawl-style parquet table — the BASELINE.json
+    ``input_hint`` schema ``(url, warc_ts, html, text, lang)`` carries NO
+    doc_id — and assign stable, DENSE int64 doc_ids.
+
+    ids = per-file offset + row ordinal: offsets come from parquet FOOTER
+    metadata only (no data read), each file is loaded by exactly one task,
+    so the assignment is deterministic across runs and dense — density is
+    what the ``doc_id >> doc_range_bits`` partitioning needs (hashed-url
+    ids would scatter every doc into its own range).  Files are the
+    natural ingest unit for a sharded crawl; a >memory single file should
+    be re-sharded upstream."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(input_path):
+        files = sorted(
+            os.path.join(input_path, f) for f in os.listdir(input_path)
+            if f.endswith(".parquet"))
+    else:
+        files = [input_path]
+    offsets: dict[str, int] = {}
+    cum = 0
+    for f in files:
+        offsets[f] = cum
+        cum += pq.ParquetFile(f).metadata.num_rows
+
+    def load(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch["path"].to_pylist():
+            t = pq.read_table(p, columns=columns)
+            if "doc_id" not in t.column_names:
+                ids = pa.array(
+                    np.arange(t.num_rows, dtype=np.int64) + offsets[p])
+                t = t.add_column(0, "doc_id", ids)
+            out.append(t)
+        return pa.concat_tables(out)
+
+    return (ray.data.from_items([{"path": f} for f in files])
+            .repartition(len(files))
+            .map_batches(load, batch_format="pyarrow"))

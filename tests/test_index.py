@@ -405,3 +405,32 @@ def test_compact_equals_build_without_deleted(ray_session, tmp_path_factory):
         d2, s2 = rc.bm25_topk_auto(q, 10)
         assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
     assert sorted(rc.get_docs(np.array([5, 6]))["doc_id"].tolist()) == [6]
+
+
+def test_read_webpages_assigns_dense_ids(ray_session, tmp_path):
+    """A doc_id-less Common-Crawl-style table (the input_hint schema) gets
+    stable dense ids from parquet-footer offsets, and the index built over
+    it answers queries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from peterman_search_engine_ray.corpus import (_wrap_batch,
+                                                   read_webpages, synth_rows)
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    pages = _wrap_batch(synth_rows(40)).drop_columns(["doc_id"])
+    d = tmp_path / "cc"
+    d.mkdir()
+    pq.write_table(pages.slice(0, 25), str(d / "part-000.parquet"))
+    pq.write_table(pages.slice(25, 15), str(d / "part-001.parquet"))
+
+    ds = read_webpages(str(d))
+    ids = sorted(ds.select_columns(["doc_id"]).to_pandas()["doc_id"])
+    assert ids == list(range(40))            # dense, stable, file-ordered
+
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(num_term_partitions=2, doc_range_bits=5,
+                      block_size=8, positional=True)
+    build_index(ds, idx, cfg)
+    r = IndexReader(idx)
+    assert r.manifest["n_docs"] == 40
+    assert r.search_keyword("peterman").size == 40
