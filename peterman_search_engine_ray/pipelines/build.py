@@ -522,6 +522,9 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
 
     manifest = {
         "timings": timings,
+        # per-stage throughput (north rule: per-stage metrics per run)
+        "stage_throughput_docs_per_sec": {
+            k: round(n_docs / v, 1) for k, v in timings.items() if v > 0},
         "cfg": _cfg_key(cfg),
         "bm25": {"k1": cfg.k1, "b": cfg.b},
         "n_docs": n_docs,
