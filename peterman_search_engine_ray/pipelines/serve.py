@@ -41,6 +41,45 @@ class ShardSearcher:
         """Shard-local df per term (the A4 partial aggregate)."""
         return {t: self.reader.doc_freq(t) for t in terms}
 
+    def boolean_local(self, mode: str, keywords: list[str]) -> list[int]:
+        """Doc-partitioned boolean/phrase: each shard's matches are final
+        (no cross-shard state) — the driver just concatenates."""
+        fn = {"and": self.reader.search_and, "or": self.reader.search_or,
+              "phrase": self.reader.search_phrase,
+              "keyword": lambda kw: self.reader.search_keyword(kw[0])}[mode]
+        return fn(keywords).tolist()
+
+    def tfidf_local_topk(self, keywords: list[str], k: int,
+                         global_n: int, gdf: dict[str, int]
+                         ) -> tuple[list[int], list[float]]:
+        """Shard-local TF-IDF top-k under GLOBAL (N, df) statistics."""
+        import math
+        r = self.reader
+        toks = r.analyze_query(keywords)
+        qtf: dict[str, float] = {}
+        for t in toks:
+            qtf[t] = qtf.get(t, 0.0) + 1.0
+        docs_l, dot_l, len_l = [], [], []
+        for t, q in qtf.items():
+            df = gdf.get(t, 0)
+            if df == 0:
+                continue
+            idf = math.log10(global_n / df)
+            doc_ids, tf, _ = r.postings(t)
+            if doc_ids.size == 0:
+                continue
+            tfidf = tf.astype(np.float64) * idf
+            docs_l.append(doc_ids)
+            dot_l.append(tfidf * (q * idf))
+            len_l.append(tfidf * tfidf)
+        if not docs_l:
+            return [], []
+        uniq, dot, veclen = r._accumulate2(docs_l, dot_l, len_l)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = np.where(veclen > 0, dot / np.sqrt(veclen), 0.0)
+        d, s = r._topk(uniq, scores, k)
+        return d.tolist(), s.tolist()
+
     def bm25_local_topk(self, terms_weights: list[tuple[str, float, int]],
                         k: int) -> tuple[list[int], list[float]]:
         """Exact local top-k given GLOBAL (term, qtf, global_df) weights."""
@@ -87,6 +126,35 @@ class ShardedIndex:
         docs = np.concatenate([np.asarray(d, np.int64) for d, _ in outs]) \
             if outs else np.empty(0, np.int64)
         scores = np.concatenate([np.asarray(s, np.float64) for _, s in outs]) \
+            if outs else np.empty(0, np.float64)
+        return m._topk(docs, scores, k)
+
+    def search(self, mode: str, keywords, k: int = 10):
+        """Boolean/phrase (set union of shard-final matches) or keyword."""
+        outs = ray.get([s.boolean_local.remote(mode, list(keywords))
+                        for s in self.shards])
+        return np.sort(np.concatenate(
+            [np.asarray(o, np.int64) for o in outs])) \
+            if outs else np.empty(0, np.int64)
+
+    def tfidf_topk(self, keywords, k: int = 10
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        """Global-statistics TF-IDF top-k, scatter/merge like bm25_topk."""
+        m = self._meta
+        toks = m.analyze_query(keywords)
+        if not toks:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        uniq_terms = sorted(set(toks))
+        partials = ray.get([s.term_df.remote(uniq_terms)
+                            for s in self.shards])
+        gdf = {t: sum(p[t] for p in partials) for t in uniq_terms}
+        outs = ray.get([s.tfidf_local_topk.remote(list(keywords), k,
+                                                  m.n_docs, gdf)
+                        for s in self.shards])
+        docs = np.concatenate([np.asarray(d, np.int64) for d, _ in outs]) \
+            if outs else np.empty(0, np.int64)
+        scores = np.concatenate([np.asarray(s, np.float64)
+                                 for _, s in outs]) \
             if outs else np.empty(0, np.float64)
         return m._topk(docs, scores, k)
 

@@ -85,6 +85,14 @@ def test_sharded_serving_rank_identity(ray_session, tmp_path):
                 d2, s2 = sharded.bm25_topk(q, k)
                 assert d1.tolist() == d2.tolist(), (q, k)
                 np.testing.assert_allclose(s1, s2, rtol=1e-12)
+                t1, v1 = single.tfidf_topk(q, k)
+                t2, v2 = sharded.tfidf_topk(q, k)
+                assert t1.tolist() == t2.tolist(), (q, k)
+                np.testing.assert_allclose(v1, v2, rtol=1e-12)
+            for mode, fn in (("and", single.search_and),
+                             ("or", single.search_or),
+                             ("phrase", single.search_phrase)):
+                assert sharded.search(mode, q).tolist() ==                     sorted(fn(q).tolist()), (mode, q)
     finally:
         sharded.shutdown()
 
