@@ -3,10 +3,9 @@ embedding-cosine near-dup.
 
 Scale notes (the part that matters at 100 TB):
 
-* **exact**: content hash inside ``map_batches`` then ONE
-  ``groupby(hash).min(doc_id)`` — partial aggregation happens inside Ray's
-  sort-based aggregate; no full-row shuffle (only hash+doc_id leave the map
-  stage).
+* **exact**: content hash inside ``map_batches`` then ONE keyed
+  repartition of (hash, doc_id) rows + a vectorized per-block min — no
+  global sort, and only hash+doc_id ever leave the map stage.
 * **n-gram Jaccard** is the *exact* verifier, quadratic in per-shingle group
   size — fine for tests/oracles, wrong tool at 100 TB (a "the quick brown"
   shingle shared by 10^8 docs would explode); at scale use **MinHash+LSH**:
@@ -39,7 +38,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Min
 
 from ..functions.textstats import md5_lower64_arr, raw_tokens
 from .shuffle import hash_partition as _hash_partition
@@ -135,13 +133,26 @@ def _md5_batch(batch: pa.Table) -> pa.Table:
                      "h": pa.array(hs, pa.string())})
 
 
-def exact_dedup(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def _min_per_hash_block(batch: pa.Table) -> pa.Table:
+    """Per-block min(doc_id) per hash — after the keyed repartition every
+    hash lives wholly in one block, so this IS the global winner set."""
+    if batch.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    df = batch.to_pandas()
+    return pa.table({"doc_id": pa.array(
+        df.groupby("h", sort=False)["doc_id"].min()
+          .to_numpy().astype(np.int64))})
+
+
+def exact_dedup(ds: "ray.data.Dataset",
+                num_parts: int = 32) -> "ray.data.Dataset":
     """Keep the smallest doc_id per identical text (md5).  Returns a
-    one-column (doc_id) Dataset of survivors."""
-    return (ds.map_batches(_md5_batch, batch_format="pyarrow")
-              .groupby("h")
-              .aggregate(Min("doc_id", alias_name="doc_id"))
-              .select_columns(["doc_id"]))
+    one-column (doc_id) Dataset of survivors.  Only (hash, doc_id) rows
+    shuffle — one keyed repartition, no global sort."""
+    return (_hash_partition(
+                ds.map_batches(_md5_batch, batch_format="pyarrow"),
+                ["h"], num_parts)
+            .map_batches(_min_per_hash_block, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
