@@ -170,6 +170,8 @@ def read_webpages(input_path: str, columns: list[str] | None = None
             if f.endswith(".parquet"))
     else:
         files = [input_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path!r}")
     offsets: dict[str, int] = {}
     cum = 0
     for f in files:
