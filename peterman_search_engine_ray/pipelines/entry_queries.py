@@ -474,6 +474,19 @@ def q_ann_lsh_top10(sf_dir: str):
     return pd.DataFrame({"vec_id": pd.Series(np.sort(ids), dtype=np.int64)})
 
 
+def q_ann_ivf_top10(sf_dir: str):
+    """IVF ANN top-10 (rows-only: approximate by design, like the LSH
+    variant — the synthetic embeddings' weak locality caps recall; accuracy
+    is pytest-verified on clustered data instead)."""
+    from ..stages.similarity import IvfAnnIndex
+    emb = _emb(sf_dir)
+    q = np.asarray((emb.sort("vec_id").take(1))[0]["embedding"],
+                   dtype=np.float64)
+    ivf = IvfAnnIndex(n_centroids=16, dim=q.size, iters=4).build(emb)
+    ids, cos = ivf.query(q, k=10, nprobe=4)
+    return pd.DataFrame({"vec_id": pd.Series(np.sort(ids), dtype=np.int64)})
+
+
 def q_wordbreak(sf_dir: str):
     """DP word-break over space-free text (M4/M5).  Uses the reference's
     own frequency dictionaries when its checkout is present (English +
@@ -567,6 +580,7 @@ def queries():
         "pagerank_top20": q_pagerank_top20,
         "websearch_top10": q_websearch_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
+        "ann_ivf_top10": q_ann_ivf_top10,
         "wordbreak": q_wordbreak,
         "media_features": q_media_features,
     }

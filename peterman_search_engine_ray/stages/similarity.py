@@ -166,3 +166,134 @@ class LshAnnIndex:
         cos = np.concatenate(cos_l)
         order = np.lexsort((ids, -cos))[:k]
         return ids[order], cos[order]
+
+
+class IvfAnnIndex:
+    """IVF ANN: spherical k-means coarse quantizer → one parquet partition
+    per centroid; queries probe only the ``nprobe`` nearest centroids'
+    partitions.
+
+    Training is Ray-native Lloyd iterations: centroids broadcast via
+    ``ray.put``, each batch emits per-centroid partial (sum, count) — only
+    n_centroids×dim floats per task cross the wire; the driver combines
+    and re-normalizes (spherical k-means ≈ cosine geometry).  Build then
+    assigns each vector to its centroid and writes parquet PARTITIONED BY
+    centroid, so the driver never materializes the embedding table."""
+
+    _CACHE_MAX = 256
+
+    def __init__(self, n_centroids: int = 64, dim: int = 64, seed: int = 17,
+                 iters: int = 5, path: str | None = None):
+        self.n_centroids = n_centroids
+        self.dim = dim
+        self.seed = seed
+        self.iters = iters
+        self.path = path
+        self.centroids: np.ndarray | None = None
+        self.id_col = "vec_id"
+        self.emb_col = "embedding"
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray] | None] = {}
+
+    def _init_centroids(self, emb_ds) -> np.ndarray:
+        head = emb_ds.take(self.n_centroids * 4)
+        M = _norm_rows(np.stack([np.asarray(r[self.emb_col], np.float64)
+                                 for r in head]))
+        rng = np.random.RandomState(self.seed)
+        pick = rng.choice(M.shape[0], size=min(self.n_centroids, M.shape[0]),
+                          replace=False)
+        return M[pick]
+
+    def build(self, emb_ds: "ray.data.Dataset", id_col="vec_id",
+              emb_col="embedding", path: str | None = None) -> "IvfAnnIndex":
+        import tempfile
+        self.id_col, self.emb_col = id_col, emb_col
+        self.path = path or self.path or tempfile.mkdtemp(prefix="ivf_ann_")
+        ds = emb_ds.select_columns([id_col, emb_col])
+        C = self._init_centroids(ds)
+
+        for _ in range(self.iters):
+            cref = ray.put(C)
+
+            def partial(batch: pa.Table) -> pa.Table:
+                M = _norm_rows(np.stack(
+                    batch[emb_col].to_numpy(zero_copy_only=False)
+                ).astype(np.float64))
+                cc = ray.get(cref)
+                assign = np.argmax(M @ cc.T, axis=1)
+                sums = np.zeros_like(cc)
+                np.add.at(sums, assign, M)
+                counts = np.bincount(assign, minlength=cc.shape[0])
+                return pa.table({
+                    "sums": pa.array([sums.tobytes()], pa.binary()),
+                    "counts": pa.array([counts.tobytes()], pa.binary())})
+
+            agg = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+            sums = np.zeros_like(C)
+            counts = np.zeros(C.shape[0], np.int64)
+            for sb, cb in zip(agg["sums"], agg["counts"]):
+                sums += np.frombuffer(sb, np.float64).reshape(C.shape)
+                counts += np.frombuffer(cb, np.int64)
+            live = counts > 0
+            C[live] = _norm_rows(sums[live] / counts[live, None])
+
+        self.centroids = C
+        cref = ray.put(C)
+
+        def assign_batch(batch: pa.Table) -> pa.Table:
+            M = _norm_rows(np.stack(
+                batch[emb_col].to_numpy(zero_copy_only=False)
+            ).astype(np.float64))
+            cc = ray.get(cref)
+            return pa.table({
+                id_col: batch[id_col],
+                "cent": pa.array(np.argmax(M @ cc.T, axis=1).astype(np.int64)),
+                emb_col: batch[emb_col]})
+
+        (ds.map_batches(assign_batch, batch_format="pyarrow")
+           .write_parquet(self.path, partition_cols=["cent"]))
+        # beside the data dir — parquet readers of self.path must not
+        # trip on a stray npy (same rule as curate's manifest)
+        np.save(os.path.normpath(self.path) + ".centroids.npy", C)
+        self._cache.clear()
+        return self
+
+    def _load_cell(self, c: int):
+        if c in self._cache:
+            return self._cache[c]
+        import pyarrow.parquet as pq
+        d = os.path.join(self.path, f"cent={c}")
+        hit = None
+        if os.path.isdir(d):
+            t = pq.read_table(d)
+            if t.num_rows:
+                hit = (t[self.id_col].to_numpy(),
+                       _norm_rows(np.stack(
+                           t[self.emb_col].to_numpy(zero_copy_only=False)
+                       ).astype(np.float64)))
+        if len(self._cache) >= self._CACHE_MAX:
+            self._cache.clear()
+        self._cache[c] = hit
+        return hit
+
+    def query(self, q: np.ndarray, k: int = 10, nprobe: int = 4
+              ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (ids, cosines) probing the nprobe nearest centroid cells."""
+        assert self.path is not None, "call build() first"
+        if self.centroids is None:
+            self.centroids = np.load(
+                os.path.normpath(self.path) + ".centroids.npy")
+        qn = q / max(np.linalg.norm(q), 1e-30)
+        order = np.argsort(-(self.centroids @ qn))[:nprobe]
+        ids_l, cos_l = [], []
+        for c in order:
+            hit = self._load_cell(int(c))
+            if hit is None:
+                continue
+            ids_l.append(hit[0])
+            cos_l.append(hit[1] @ qn)
+        if not ids_l:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = np.concatenate(ids_l)
+        cos = np.concatenate(cos_l)
+        sel = np.lexsort((ids, -cos))[:k]
+        return ids[sel], cos[sel]

@@ -327,3 +327,26 @@ def test_hll_distinct_terms(ray_session):
     est = hll_distinct_terms(rd.from_arrow(tbl), p=12)
     # 2^12 registers -> ~1.6% standard error; allow 3 sigma
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_ivf_ann(ray_session, tmp_path):
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.similarity import (IvfAnnIndex,
+                                                              cosine_topk)
+    rng = np.random.RandomState(9)
+    # 4 well-separated clusters in 16d
+    centers = rng.randn(4, 16) * 6
+    M = np.concatenate([c + rng.randn(60, 16) for c in centers])
+    tbl = pa.table({"vec_id": pa.array(np.arange(240, dtype=np.int64)),
+                    "embedding": pa.array([r.tolist() for r in M],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    ivf = IvfAnnIndex(n_centroids=8, dim=16, iters=4,
+                      path=str(tmp_path / "ivf")).build(ds)
+    q = M[10].astype(np.float64)
+    exact = cosine_topk(ds, q, k=5)["vec_id"].tolist()
+    ids, cos = ivf.query(q, k=5, nprobe=4)
+    # clustered data: probing half the cells must recover the exact top-5
+    # (the query's own cluster spans at most a few cells)
+    assert ids.tolist() == exact
+    assert np.all(np.diff(cos) <= 1e-12)      # descending
