@@ -353,8 +353,11 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64,
         return batch.filter(pa.array(np.isin(batch["doc_id"].to_numpy(), ids)))
 
     sub = ds.map_batches(keep_candidates, batch_format="pyarrow")
+    # the verify pass must NOT cap shingle groups: dropping one silently
+    # loses true pairs (a group is already bounded by the candidate count,
+    # so the quadratic work is bounded by what verification costs anyway)
     out = ngram_jaccard_pairs(sub, k=k, tau_num=tau_num, tau_den=tau_den,
-                              max_group=max_group)
+                              max_group=max(int(need.size), max_group))
     return out[["a", "b"]].reset_index(drop=True) if len(out) else empty
 
 

@@ -6,11 +6,15 @@
   merges k·num_blocks candidates instead of the whole table (the K1
   per-partition-heap pattern from the reference's ranked search,
   InvertedIndexManager.java:571-668, re-expressed over Dataset batches).
-* :class:`LshAnnIndex` — the scale path: random-hyperplane LSH buckets;
+* :class:`LshAnnIndex` — scale path #1: random-hyperplane LSH buckets;
   build = one ``map_batches`` assigning bucket keys + partitioned parquet
-  write; query probes only matching buckets (multi-probe over hamming-1
+  write; query probes only matching buckets (multi-probe over hamming-≤r
   neighbors for recall).  Approximate by design; recall tested vs brute
   force.
+* :class:`IvfAnnIndex` — scale path #2: spherical k-means coarse quantizer
+  trained with Ray-native Lloyd iterations (map-side partial sums against
+  broadcast centroids), parquet partitioned by centroid, nprobe-pruned
+  queries.
 """
 
 from __future__ import annotations
