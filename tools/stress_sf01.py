@@ -1,0 +1,48 @@
+"""10×-scale stress pass: run the heavier driver queries at sf0.1 (5,000
+docs / 100,000 events) and report wall time + row counts.
+
+Correctness is gated at sf0.01; this catches scale-dependent silent-loss
+bugs the small tables cannot (it found the MinHash verify-cap bug that
+dropped all 256 true pairs at 5k docs).
+
+Usage: python tools/stress_sf01.py [query ...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT = ["windowed_counts", "sessionize", "props_stats",
+           "embedding_neardup", "ann_cosine_top20", "simhash_pairs",
+           "minhash_pairs", "dedup_exact", "orders_by_nation",
+           "top_docs_per_source", "fingerprints", "curate_corpus"]
+
+
+def main():
+    import ray
+    ray.init(address="local", num_cpus=16, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as e
+    qs = e.queries()
+    names = sys.argv[1:] or DEFAULT
+    sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    failed = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            out = qs[name](sf)
+            n = len(out.to_pandas() if hasattr(out, "to_pandas") else out)
+            print(f"{name}: {round(time.time() - t0, 1)}s rows={n}")
+        except Exception as ex:
+            print(f"{name}: FAILED {type(ex).__name__}: {ex}")
+            failed += 1
+    ray.shutdown()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
