@@ -298,7 +298,8 @@ class MinHasher:
 def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64,
                       bands: int = 32, k: int = 2, tau_num: int = 1,
                       tau_den: int = 2, max_group: int = 200,
-                      num_parts: int = 32) -> pd.DataFrame:
+                      num_parts: int = 32,
+                      verify_max_group: int = 4000) -> pd.DataFrame:
     """MinHash signatures → LSH banding → candidate pairs → exact-Jaccard
     verification, all distributed.
 
@@ -353,11 +354,14 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64,
         return batch.filter(pa.array(np.isin(batch["doc_id"].to_numpy(), ids)))
 
     sub = ds.map_batches(keep_candidates, batch_format="pyarrow")
-    # the verify pass must NOT cap shingle groups: dropping one silently
-    # loses true pairs (a group is already bounded by the candidate count,
-    # so the quadratic work is bounded by what verification costs anyway)
+    # The verify pass needs a much higher group cap than banding: a capped
+    # shingle group LOSES true pairs (at 5k docs the banding cap silently
+    # dropped all 256).  verify_max_group bounds the quadratic blow-up on
+    # pathological duplicate-heavy corpora (run exact_dedup first for
+    # those — curate_corpus does); drops are loudly logged by the emitter.
+    verify_cap = max(int(verify_max_group), max_group)
     out = ngram_jaccard_pairs(sub, k=k, tau_num=tau_num, tau_den=tau_den,
-                              max_group=max(int(need.size), max_group))
+                              max_group=verify_cap)
     return out[["a", "b"]].reset_index(drop=True) if len(out) else empty
 
 
