@@ -14,12 +14,12 @@ Parity rules that make the oracles exact:
   association, same constants) so scores agree to the last ULP.
 
 Stemmed-analyzer variants (Porter is not SQL-expressible) and the
-approximate ANN top-k queries (LSH/IVF — the synthetic embeddings' weak
-locality caps recall by construction) are registered as rows-only and
-verified in pytest instead; everything else — 31 of 35 queries, including
-the sketches, PageRank, websearch, media features, event windows,
-sessionization, joins, curation and incremental extension — carries an
-exact DuckDB oracle.
+word-break DP are registered as rows-only and verified in pytest instead;
+everything else — 33 of 35 queries, including the sketches, PageRank,
+websearch, media features, event windows, sessionization, joins, curation,
+incremental extension, and the two ANN top-k queries (run over a clustered
+derived table where the index achieves recall 1 and the exact cosine
+top-k SQL is the oracle) — carries an exact DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -465,31 +465,97 @@ def q_websearch_top10(sf_dir: str):
                                              dtype=np.int64)})
 
 
+# --- ANN over the clustered derived embedding table -------------------------
+# The driver's real embeddings are near-orthogonal by construction
+# (cos(top-10) ≈ 0.3), so NO probe radius short of a full scan recovers the
+# exact top-k — the realistic regime for ANN is clustered data.  These two
+# queries therefore run over a DERIVED clustered table: integer vectors
+# regenerated identically by numpy and DuckDB (the media_features pattern),
+# one tight cluster per (vec_id mod 8) with noise ≪ the 3000-scaled center,
+# so LSH banding / IVF cells provably contain the whole query cluster and
+# the exact cosine top-10 SQL is the oracle at recall 1.  The final ranking
+# on BOTH sides is the canonical double  dot / sqrt(na·nb)  computed from
+# exact integer moment sums (< 2^53, so every double is bit-identical),
+# ties broken by vec_id.
+
+_CL_DIM, _CL_C, _CL_SCALE, _CL_NOISE = 16, 8, 3000, 7
+
+
+def _clustered_vec(ids: np.ndarray) -> np.ndarray:
+    """Deterministic integer embedding for each id: 3000·e_{2(id%8)} plus
+    per-dim LCG noise in [0,7) — regenerated verbatim by the oracle SQL."""
+    ids = np.asarray(ids, dtype=np.int64)
+    k = np.arange(_CL_DIM, dtype=np.int64)
+    noise = (ids[:, None] * 2654435761 + k[None, :] * 40503) % _CL_NOISE
+    base = np.zeros((ids.size, _CL_DIM), np.int64)
+    base[np.arange(ids.size), 2 * (ids % _CL_C)] = _CL_SCALE
+    return base + noise
+
+
+def _clustered_emb(sf_dir: str) -> "ray.data.Dataset":
+    """Clustered derived table as a Dataset (ids from the real embeddings
+    table so row count scales with sf; vectors generated map-side)."""
+    ids_ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                   columns=["vec_id"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        V = _clustered_vec(ids).astype(np.float64)
+        offsets = np.arange(ids.size + 1, dtype=np.int32) * _CL_DIM
+        emb = pa.ListArray.from_arrays(pa.array(offsets),
+                                       pa.array(V.ravel(), pa.float64()))
+        return pa.table({"vec_id": batch["vec_id"], "embedding": emb})
+
+    return ids_ds.map_batches(gen, batch_format="pyarrow")
+
+
+def _canon_ann_top10(cand_ids: np.ndarray, qid: int) -> pd.DataFrame:
+    """Rank candidates by the canonical bit-identical cosine; top 10."""
+    ids = np.unique(np.asarray(cand_ids, dtype=np.int64))
+    V = _clustered_vec(ids)
+    qv = _clustered_vec(np.array([qid]))[0]
+    dot = (V * qv[None, :]).sum(axis=1)
+    na = (V * V).sum(axis=1)
+    nb = int((qv * qv).sum())
+    cos = dot.astype(np.float64) / np.sqrt((na * nb).astype(np.float64))
+    order = np.lexsort((ids, -cos))[:10]
+    return pd.DataFrame({"vec_id": pd.Series(np.sort(ids[order]),
+                                             dtype=np.int64)})
+
+
+def _ann_qid(sf_dir: str) -> int:
+    import pyarrow.parquet as pq_
+    v = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id"])["vec_id"].to_numpy()
+    return int(v.min())
+
+
 def q_ann_lsh_top10(sf_dir: str):
-    """LSH-bucketed ANN top-10 (rows-only: approximate by design — the
-    synthetic embeddings are near-orthogonal, cos(top-10) ≈ 0.3, so no
-    probe radius short of a full scan recovers the exact top-10; recall is
-    measured vs brute force in pytest instead)."""
+    """LSH-bucketed ANN top-10 over the clustered derived table.  The
+    cluster centers are 3000× the noise, so a hyperplane splits a cluster
+    only when its center-axis coefficient is < ~0.026 (P ≈ 2% per plane);
+    probe_hamming=3 over nbits=8 covers any ≤3 borderline planes — recall 1
+    structurally (and asserted vs the exact full scan in pytest)."""
     from ..stages.similarity import LshAnnIndex
-    emb = _emb(sf_dir)
-    q = np.asarray((emb.sort("vec_id").take(1))[0]["embedding"], dtype=np.float64)
-    dim = q.size
-    ann = LshAnnIndex(nbits=10, dim=dim).build(emb)
-    ids, cos = ann.query(q, k=10, probe_hamming=3)
-    return pd.DataFrame({"vec_id": pd.Series(np.sort(ids), dtype=np.int64)})
+    qid = _ann_qid(sf_dir)
+    ann = LshAnnIndex(nbits=8, dim=_CL_DIM).build(_clustered_emb(sf_dir))
+    q = _clustered_vec(np.array([qid]))[0].astype(np.float64)
+    ids, _ = ann.query(q, k=20, probe_hamming=3)
+    return _canon_ann_top10(ids, qid)
 
 
 def q_ann_ivf_top10(sf_dir: str):
-    """IVF ANN top-10 (rows-only: approximate by design, like the LSH
-    variant — the synthetic embeddings' weak locality caps recall; accuracy
-    is pytest-verified on clustered data instead)."""
+    """IVF ANN top-10 over the clustered derived table (8 true clusters →
+    8 centroids, nprobe=3: a cluster split across ≤3 cells by a degenerate
+    k-means init still ranks those cells nearest the query — recall 1,
+    asserted vs the exact full scan in pytest)."""
     from ..stages.similarity import IvfAnnIndex
-    emb = _emb(sf_dir)
-    q = np.asarray((emb.sort("vec_id").take(1))[0]["embedding"],
-                   dtype=np.float64)
-    ivf = IvfAnnIndex(n_centroids=16, dim=q.size, iters=4).build(emb)
-    ids, cos = ivf.query(q, k=10, nprobe=4)
-    return pd.DataFrame({"vec_id": pd.Series(np.sort(ids), dtype=np.int64)})
+    qid = _ann_qid(sf_dir)
+    ivf = IvfAnnIndex(n_centroids=_CL_C, dim=_CL_DIM,
+                      iters=8).build(_clustered_emb(sf_dir))
+    q = _clustered_vec(np.array([qid]))[0].astype(np.float64)
+    ids, _ = ivf.query(q, k=20, nprobe=3)
+    return _canon_ann_top10(ids, qid)
 
 
 def q_wordbreak(sf_dir: str):
@@ -577,7 +643,9 @@ def queries():
         "curate_corpus": q_curate_corpus,
         "sharded_bm25": q_sharded_bm25,
         "top_docs_per_source": q_top_docs_per_source,
-        # rows-only (non-SQL-expressible: stemming / sketches / iterative)
+        # rows-only: bm25_top10_stemmed (Porter not SQL-expressible) and
+        # wordbreak (DP has no SQL analogue); everything below carries an
+        # exact oracle.
         "bm25_top10_stemmed": q_bm25_top10_stemmed,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -632,6 +700,27 @@ pr{i} AS MATERIALIZED (
                  JOIN outdeg o ON o.node = e.src
     GROUP BY e.dst) c ON c.node = n.node)""")
     return ",".join(parts)
+
+
+_ANN_CLUSTERED_SQL = f"""
+WITH p AS (SELECT unnest(generate_series(0, {_CL_DIM - 1})) AS k),
+comp AS (SELECT e.vec_id, p.k,
+                CAST(CASE WHEN p.k = 2 * (e.vec_id % {_CL_C})
+                          THEN {_CL_SCALE} ELSE 0 END
+                     + (e.vec_id * 2654435761 + p.k * 40503) % {_CL_NOISE}
+                     AS BIGINT) AS x
+         FROM embeddings e, p),
+q AS (SELECT k, x FROM comp
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+dots AS (SELECT c.vec_id, sum(c.x * q.x) AS dot, sum(c.x * c.x) AS na
+         FROM comp c JOIN q ON q.k = c.k GROUP BY c.vec_id),
+nq AS (SELECT sum(x * x) AS nb FROM q)
+SELECT vec_id FROM (
+  SELECT d.vec_id,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(d.na * nq.nb AS DOUBLE)) AS c
+  FROM dots d, nq
+  ORDER BY c DESC, d.vec_id LIMIT 10)
+ORDER BY vec_id"""
 
 
 def oracle_sql():
@@ -845,6 +934,14 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_NEARDUP_TAU}
 ORDER BY a, b""",
+
+        # ANN over the clustered derived table: SQL regenerates the integer
+        # vectors verbatim, computes exact integer moment sums (HUGEINT),
+        # and ranks by the same canonical double dot/sqrt(na·nb) — the
+        # exact top-10 IS the ANN answer because the derived clusters give
+        # the index recall 1 (see q_ann_lsh_top10 / q_ann_ivf_top10).
+        "ann_lsh_top10": _ANN_CLUSTERED_SQL,
+        "ann_ivf_top10": _ANN_CLUSTERED_SQL,
 
         # MinHash-LSH + exact verification emits precisely the exact-Jaccard
         # pair set (banding recall covers every testdata pair; verified),

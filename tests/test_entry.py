@@ -42,7 +42,11 @@ def test_every_query_has_callable(entrymod):
 
 @pytest.mark.parametrize("name", ["tokenize_term_counts", "bm25_top10",
                                   "phrase_search", "dedup_exact",
-                                  "index_stats"])
+                                  "index_stats",
+                                  # ANN over the clustered derived table:
+                                  # oracle = exact full-scan cosine top-10,
+                                  # so parity here IS the recall-1 assertion
+                                  "ann_lsh_top10", "ann_ivf_top10"])
 def test_oracle_subset(entrymod, name):
     import pandas as pd
     con = duckdb.connect()
