@@ -203,14 +203,31 @@ def q_tfidf_top10(sf_dir: str):
 
 
 def q_index_stats(sf_dir: str):
+    """Global (n_postings, n_terms) over the built index.  n_postings is a
+    manifest sum (O(segments) driver state); n_terms is a DISTRIBUTED
+    distinct count — each segment's term directory is already term-sorted
+    parquet, so: pruned read of the term columns → hash-partition by term
+    (every term lands wholly in one block) → per-block distinct → sum.
+    The distinct vocabulary (10⁸–10⁹ strings at web scale) never
+    materializes on the driver; only one count per block does."""
+    from ..stages.shuffle import hash_partition
     r = get_reader(sf_dir)
     n_post = sum(s["n_postings"] for s in r.manifest["segments"])
-    terms: set[str] = set()
-    for s in r.manifest["segments"]:
-        sr = r._segment(int(s["tp"]), int(s["dr"]))
-        terms.update(sr.terms.index.tolist())
+    dir_files = [os.path.join(r.index_dir, "segments",
+                              f"{s['segment']}.dir.parquet")
+                 for s in r.manifest["segments"]]
+
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+        n = len(pc_.unique(batch["term"])) if batch.num_rows else 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    terms_ds = ray.data.read_parquet(dir_files, columns=["term"])
+    agg = (hash_partition(terms_ds, ["term"], 16)
+           .map_batches(block_distinct, batch_format="pyarrow").to_pandas())
+    n_terms = int(agg["n"].sum()) if len(agg) else 0
     return pd.DataFrame({"n_postings": pd.Series([n_post], dtype=np.int64),
-                         "n_terms": pd.Series([len(terms)], dtype=np.int64)})
+                         "n_terms": pd.Series([n_terms], dtype=np.int64)})
 
 
 def q_extract_invariant(sf_dir: str):

@@ -155,6 +155,30 @@ def exact_dedup(ds: "ray.data.Dataset",
             .map_batches(_min_per_hash_block, batch_format="pyarrow"))
 
 
+def _losers_per_hash_block(batch: pa.Table) -> pa.Table:
+    """Per-block non-min doc_ids per hash (the exact-dup LOSERS) — after
+    the keyed repartition every hash lives wholly in one block.  Losers are
+    RESULT-scale (only actual duplicates), unlike the corpus-scale winner
+    set, so they can broadcast."""
+    if batch.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    df = batch.to_pandas()
+    m = df["doc_id"] != df.groupby("h", sort=False)["doc_id"].transform("min")
+    return pa.table({"doc_id": pa.array(
+        df.loc[m, "doc_id"].to_numpy().astype(np.int64))})
+
+
+def exact_dedup_losers(ds: "ray.data.Dataset",
+                       num_parts: int = 32) -> "ray.data.Dataset":
+    """Doc_ids that are NOT the smallest of their identical-text group —
+    the complement of :func:`exact_dedup`, emitted directly so downstream
+    anti-filters broadcast a result-scale set instead of the corpus."""
+    return (_hash_partition(
+                ds.map_batches(_md5_batch, batch_format="pyarrow"),
+                ["h"], num_parts)
+            .map_batches(_losers_per_hash_block, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # shingles
 # ---------------------------------------------------------------------------

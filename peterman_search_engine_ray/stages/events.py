@@ -7,12 +7,13 @@ over an append-only event log, both expressed Ray-Data-first:
   (``ts // window``), so the op is map-side partial aggregation + ONE hash
   exchange of the (key, partial) rows — never the raw events.  At 100 TB
   the shuffle volume is O(distinct (type, window)), not O(events).
-* :func:`sessionize` — gap-based sessions need per-user ordered state, so
-  the op hash-partitions by ``user_id`` (every user's events land wholly in
-  one block) and runs a vectorized per-block sessionizer (sort + gap diff +
-  boundary cumsum — numpy only, no per-row Python).  The partitioning
-  assumption is the documented contract: one user's history fits one block
-  (salt by time range if a user outgrows it).
+* :func:`sessionize` — gap-based sessions need per-user ordered state.
+  The exchange key is ``(user_id, time slice)`` — the skew valve: a bot
+  user whose history outgrows one block splits across slices, each slice
+  sessionizes vectorized (sort + gap diff + boundary cumsum — numpy only),
+  and a second session-rows-only exchange per user merges boundary
+  sessions and renumbers.  No block ever needs more than one slice of one
+  user's EVENTS; the per-user phase holds only session summaries.
 
 Integer outputs only (counts, ids, epoch-microseconds) so the DuckDB
 oracles compare exactly.
@@ -87,15 +88,23 @@ def windowed_counts(events_ds: "ray.data.Dataset",
 
 def sessionize(events_ds: "ray.data.Dataset",
                gap_us: int = 30 * 60_000_000,
-               num_parts: int = 32) -> pd.DataFrame:
+               num_parts: int = 32,
+               salt_us: int = 24 * 3_600_000_000) -> pd.DataFrame:
     """Gap-based sessions per user: a new session starts at a user's first
     event or when the gap to the previous event exceeds ``gap_us``.
     Returns one row per session: (user_id, session_id, n_events, start_us,
-    end_us), session_id 0-based per user in time order."""
+    end_us), session_id 0-based per user in time order.
 
-    def per_block(batch: pa.Table) -> pa.Table:
+    Skew valve (the doc-range pattern from the index build): the exchange
+    key is ``(user_id, ts // salt_us)`` — a pathological user (bot traffic)
+    whose history outgrows one block is SPLIT across time slices, each
+    slice sessionized independently with forced breaks at slice boundaries,
+    then a second, session-rows-only exchange per user merges boundary
+    sessions whose gap ≤ gap_us and renumbers.  Phase-2 state per block is
+    O(sessions of its users), never O(events)."""
+
+    def per_slice(batch: pa.Table) -> pa.Table:
         empty = pa.table({"user_id": pa.array([], pa.int64()),
-                          "session_id": pa.array([], pa.int64()),
                           "n_events": pa.array([], pa.int64()),
                           "start_us": pa.array([], pa.int64()),
                           "end_us": pa.array([], pa.int64())})
@@ -104,31 +113,76 @@ def sessionize(events_ds: "ray.data.Dataset",
         uid = batch["user_id"].to_numpy()
         tus = _ts_us(batch)
         eid = batch["event_id"].to_numpy()
-        order = np.lexsort((eid, tus, uid))
-        uid, tus = uid[order], tus[order]
+        slt = tus // salt_us
+        order = np.lexsort((eid, tus, slt, uid))
+        uid, tus, slt = uid[order], tus[order], slt[order]
         n = uid.size
-        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        # a block may hold NON-adjacent slices of one user (slice 0 and 2
+        # while slice 1 lives elsewhere), so sessions must break at every
+        # slice boundary — the merge pass re-joins true adjacencies
+        new_grp = np.concatenate(([True], (uid[1:] != uid[:-1])
+                                  | (slt[1:] != slt[:-1])))
         gap = np.concatenate(([0], tus[1:] - tus[:-1]))
-        brk = new_user | (gap > gap_us)
-        # session index within user: global break counter minus the user's
-        # first break counter
-        brk_cum = np.cumsum(brk)                     # 1-based at each row
-        user_first = np.repeat(brk_cum[new_user], np.diff(
-            np.append(np.flatnonzero(new_user), n)))
-        sid = brk_cum - user_first
+        brk = new_grp | (gap > gap_us)
         s_start = np.flatnonzero(brk)
         s_end = np.append(s_start[1:], n)
         return pa.table({
             "user_id": pa.array(uid[s_start].astype(np.int64)),
-            "session_id": pa.array(sid[s_start].astype(np.int64)),
             "n_events": pa.array((s_end - s_start).astype(np.int64)),
             "start_us": pa.array(tus[s_start].astype(np.int64)),
             "end_us": pa.array(tus[s_end - 1].astype(np.int64))})
 
-    out = (hash_partition(
-                events_ds.select_columns(["event_id", "ts", "user_id"]),
-                ["user_id"], num_parts)
-           .map_batches(per_block, batch_format="pyarrow")
+    def add_salt(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "slt", pa.array(_ts_us(batch) // salt_us, pa.int64()))
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        """Per-user boundary merge over SESSION rows (all of one user's
+        slice-sessions land in this block): consecutive disjoint sessions
+        merge when the boundary gap ≤ gap_us; session_ids renumber 0-based
+        per user in time order."""
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "session_id": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64()),
+                          "start_us": pa.array([], pa.int64()),
+                          "end_us": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        uid = batch["user_id"].to_numpy()
+        start = batch["start_us"].to_numpy()
+        end = batch["end_us"].to_numpy()
+        nev = batch["n_events"].to_numpy()
+        order = np.lexsort((start, uid))
+        uid, start, end, nev = (uid[order], start[order], end[order],
+                                nev[order])
+        n = uid.size
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap = np.concatenate(([0], start[1:] - end[:-1]))
+        brk = new_user | (gap > gap_us)
+        g0 = np.flatnonzero(brk)
+        n_groups = g0.size
+        m_uid = uid[g0]
+        m_nev = np.add.reduceat(nev, g0)
+        m_start = start[g0]
+        m_end = np.maximum.reduceat(end, g0)
+        gidx = np.arange(n_groups)
+        new_user_g = np.concatenate(([True], m_uid[1:] != m_uid[:-1]))
+        first = np.repeat(gidx[new_user_g], np.diff(
+            np.append(np.flatnonzero(new_user_g), n_groups)))
+        return pa.table({
+            "user_id": pa.array(m_uid.astype(np.int64)),
+            "session_id": pa.array((gidx - first).astype(np.int64)),
+            "n_events": pa.array(m_nev.astype(np.int64)),
+            "start_us": pa.array(m_start.astype(np.int64)),
+            "end_us": pa.array(m_end.astype(np.int64))})
+
+    slices = (hash_partition(
+                  events_ds.select_columns(["event_id", "ts", "user_id"])
+                           .map_batches(add_salt, batch_format="pyarrow"),
+                  ["user_id", "slt"], num_parts)
+              .map_batches(per_slice, batch_format="pyarrow"))
+    out = (hash_partition(slices, ["user_id"], num_parts)
+           .map_batches(merge_block, batch_format="pyarrow")
            .to_pandas())
     return (out.sort_values(["user_id", "session_id"])
                .reset_index(drop=True))

@@ -260,6 +260,48 @@ def test_windowed_counts_and_sessionize(ray_session):
     assert len(sess) == 3
 
 
+def test_sessionize_salted_hot_user(ray_session):
+    """Skew valve: one bot user whose events span MANY time slices (tiny
+    salt_us forces the split that a block-overflowing user would hit at
+    scale) must sessionize identically to the unsalted single-block
+    reference — sessions that straddle slice boundaries included."""
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.events import sessionize
+    M = 60_000_000  # 1 min in us
+    rng = np.random.RandomState(7)
+    # user 9: 500 events, gaps drawn so some sessions span slice borders
+    gaps = rng.choice([1 * M, 5 * M, 40 * M], size=499,
+                      p=[0.6, 0.3, 0.1]).astype(np.int64)
+    ts9 = np.concatenate(([0], np.cumsum(gaps)))
+    # user 3: small control user in the same table
+    ts3 = np.array([10 * M, 15 * M, 200 * M], dtype=np.int64)
+    ts = np.concatenate([ts9, ts3])
+    uid = np.concatenate([np.full(500, 9), np.full(3, 3)]).astype(np.int64)
+    eid = np.arange(ts.size, dtype=np.int64)
+    tbl = pa.table({"event_id": pa.array(eid),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "user_id": pa.array(uid),
+                    "event_type": pa.array(["e"] * ts.size)})
+    # salt_us = 1h → user 9 spans dozens of slices; gap threshold 30 min
+    got = sessionize(rd.from_arrow(tbl), salt_us=3_600_000_000)
+
+    # unsalted reference, plain pandas
+    df = pd.DataFrame({"uid": uid, "ts": ts, "eid": eid}).sort_values(
+        ["uid", "ts", "eid"]).reset_index(drop=True)
+    brk = (df["uid"].ne(df["uid"].shift())
+           | (df["ts"] - df["ts"].shift()).gt(1_800_000_000))
+    df["grp"] = brk.cumsum()
+    ref = (df.groupby(["uid", "grp"])
+             .agg(n_events=("eid", "size"), start_us=("ts", "min"),
+                  end_us=("ts", "max")).reset_index())
+    ref["session_id"] = ref.groupby("uid").cumcount()
+    ref = ref.rename(columns={"uid": "user_id"})[
+        ["user_id", "session_id", "n_events", "start_us", "end_us"]]
+    ref = ref.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64).reset_index(drop=True), ref.astype(np.int64))
+
+
 def test_broadcast_join_and_topk_per_group(ray_session):
     import ray.data as rd
     from peterman_search_engine_ray.stages.join import (broadcast_join,
