@@ -326,13 +326,36 @@ def get_analyzer(name: str) -> Analyzer:
 
     ``kind`` tags the frozen built-ins so batch stages can take the
     vectorized Arrow path (stages/tokenize.py) with identical semantics;
-    unknown/custom analyzers fall back to the per-doc loop."""
+    unknown/custom analyzers fall back to the per-doc loop.
+
+    Word-break analyzers (reference ``ComposableAnalyzer.java:20-24``
+    chaining ``WordBreakTokenizer``/``JapaneseWordBreakTokenizer`` with a
+    stemmer) register as ``wordbreak[:<freq_dict_path>]`` (no stemming —
+    the Japanese chain) or ``wordbreak-porter[:<freq_dict_path>]`` (DP
+    segmentation then Porter).  The name is an ordinary IndexConfig.analyzer
+    value, so a space-free-language corpus indexes end-to-end; the
+    frequency dictionary loads once per worker process (ST1 — the
+    tokenize stage's process-global analyzer cache).  Unbreakable rows
+    tokenize to [] (a pipeline cannot throw per-row at scale; the
+    stand-alone WordBreakStage surfaces ok=False for them)."""
     if name == "porter":
         a = Analyzer(punctuation_tokenize, stem=True)
     elif name == "nostem":
         a = Analyzer(punctuation_tokenize, stem=False)
     elif name == "naive":
         a = Analyzer(naive_tokenize, stem=False)
+    elif name.split(":", 1)[0] in ("wordbreak", "wordbreak-porter"):
+        spec, _, path = name.partition(":")
+        from .wordbreak import WordBreakTokenizer
+        wb = WordBreakTokenizer(path or None)
+
+        def wb_tokenize(text: str, _wb=wb) -> list[str]:
+            try:
+                return _wb.tokenize(text)
+            except ValueError:
+                return []
+
+        a = Analyzer(wb_tokenize, stem=(spec == "wordbreak-porter"))
     else:
         raise ValueError(f"unknown analyzer: {name!r}")
     a.kind = name

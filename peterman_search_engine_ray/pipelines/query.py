@@ -280,8 +280,14 @@ class IndexReader:
         if isinstance(keywords, str):
             keywords = [keywords]
         # reference behavior: analyze the joined keyword string
-        # (InvertedIndexManager.java:516)
-        return self.analyzer(" ".join(keywords))
+        # (InvertedIndexManager.java:516).  Analyzing per keyword and
+        # concatenating is identical for the punctuation analyzers (space
+        # is a separator) and also works for word-break analyzers, whose
+        # dictionaries contain no space token.
+        out: list[str] = []
+        for kw in keywords:
+            out.extend(self.analyzer(kw))
+        return out
 
     # -- boolean ----------------------------------------------------------
     def search_keyword(self, keyword: str) -> np.ndarray:
@@ -493,14 +499,17 @@ class IndexReader:
         return doc_ids[sel], scores[sel]
 
     def _term_contrib(self, term: str, df: int) -> np.ndarray:
-        """Cached per-term BM25 contribution vector (qtf=1)."""
-        c = self._contrib_cache.get(term)
+        """Cached per-term BM25 contribution vector (qtf=1).  Keyed by
+        (term, df): a sharded caller passes GLOBAL df, which differs from
+        this reader's local doc_freq — the two must not share an entry."""
+        key = (term, df)
+        c = self._contrib_cache.get(key)
         if c is None:
             _, tf, dl = self.postings(term)
             c = self._bm25_contrib(self._bm25_idf(df), tf, dl)
             if len(self._contrib_cache) >= self._post_cache_max:
                 self._contrib_cache.pop(next(iter(self._contrib_cache)))
-            self._contrib_cache[term] = c
+            self._contrib_cache[key] = c
         return c
 
     def _dense_bound(self) -> int | None:
@@ -610,7 +619,20 @@ class IndexReader:
         block-max bound + suffix bound can't beat it (Ding & Suel-style
         block-max pruning adapted to vectorized candidate batches).
         Rank-identical to :meth:`bm25_topk` (tested)."""
-        terms = self._query_weights(keywords)
+        return self._bm25_pruned_terms(self._query_weights(keywords), k)
+
+    def _bm25_pruned_terms(self, terms: list[tuple[str, float, int]],
+                           k: int = 10, theta0: float = -np.inf
+                           ) -> tuple[np.ndarray, np.ndarray]:
+        """Pruned scoring core over explicit ``(term, qtf, df)`` weights.
+
+        ``df`` may be a GLOBAL document frequency supplied by a sharded
+        caller (serve.ShardSearcher) — every idf/bound uses it, so
+        shard-local pruned scores equal global scores.  ``theta0`` is an
+        optional external score floor (e.g. the k-th score another shard
+        already found): candidates and whole term lists that cannot beat
+        it are skipped, exactly like the self-found θ (== θ candidates
+        survive for the doc_id tie-break)."""
         if not terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         # load postings + bounds once (decode + contrib are reader-cached);
@@ -640,7 +662,7 @@ class IndexReader:
 
         top_docs = np.empty(0, np.int64)
         top_scores = np.empty(0, np.float64)
-        theta = -np.inf
+        theta = theta0
         seen: list[np.ndarray] = []      # candidate lists already evaluated
         CHUNK = 16384                     # θ ramps between chunks
 
@@ -650,7 +672,7 @@ class IndexReader:
             top_scores = np.concatenate((top_scores, scores))
             if top_docs.size >= k:
                 top_docs, top_scores = self._topk(top_docs, top_scores, k)
-                theta = top_scores[-1]
+                theta = max(theta0, top_scores[-1])
 
         for j, p in enumerate(plists):
             # an unevaluated doc absent from lists 0..j-1 scores ≤ suffix[j];

@@ -81,8 +81,20 @@ class ShardSearcher:
         return d.tolist(), s.tolist()
 
     def bm25_local_topk(self, terms_weights: list[tuple[str, float, int]],
-                        k: int) -> tuple[list[int], list[float]]:
-        """Exact local top-k given GLOBAL (term, qtf, global_df) weights."""
+                        k: int, theta0: float = float("-inf")
+                        ) -> tuple[list[int], list[float]]:
+        """Local top-k given GLOBAL (term, qtf, global_df) weights, through
+        the block-max pruned path (query._bm25_pruned_terms) — each shard
+        skips term-list suffixes and posting blocks that cannot reach the
+        current θ, exactly like the single-reader path.  ``theta0`` seeds θ
+        with a score floor another shard already established (the pilot
+        wave in ShardedIndex.bm25_topk)."""
+        d, s = self.reader._bm25_pruned_terms(list(terms_weights), k, theta0)
+        return d.tolist(), s.tolist()
+
+    def bm25_local_topk_dense(self, terms_weights, k: int
+                              ) -> tuple[list[int], list[float]]:
+        """Unpruned exact accumulator — kept as the pruning test witness."""
         r = self.reader
         docs_l, contribs_l = [], []
         for t, qtf, gdf in terms_weights:
@@ -109,8 +121,18 @@ class ShardedIndex:
         drs = sorted({dr for v in self._meta._by_tp.values() for dr in v})
         self.shards = [ShardSearcher.remote(index_dir, dr) for dr in drs]
 
-    def bm25_topk(self, keywords, k: int = 10
+    def bm25_topk(self, keywords, k: int = 10, pilot: bool = False
                   ) -> tuple[np.ndarray, np.ndarray]:
+        """Global BM25 top-k: per-shard block-max-pruned local top-k under
+        global statistics, merged on the driver.
+
+        ``pilot=True`` runs one shard first and seeds every other shard's
+        θ with its k-th score — the remaining shards then skip all work
+        that cannot beat an already-known floor.  That trades one extra
+        round-trip of latency for less total CPU, so it pays under
+        throughput-bound load (many concurrent queries sharing the pool);
+        the default single wave minimizes individual-query latency on an
+        idle cluster.  Both schedules are rank-identical (tested)."""
         m = self._meta
         toks = m.analyze_query(keywords)
         if not toks:
@@ -122,7 +144,15 @@ class ShardedIndex:
         tw = [(t, float(toks.count(t)), gdf[t]) for t in uniq_terms if gdf[t]]
         if not tw:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        outs = ray.get([s.bm25_local_topk.remote(tw, k) for s in self.shards])
+        if pilot and len(self.shards) > 1:
+            d0, s0 = ray.get(self.shards[0].bm25_local_topk.remote(tw, k))
+            theta0 = float(s0[k - 1]) if len(s0) >= k else float("-inf")
+            outs = [(d0, s0)] + ray.get(
+                [s.bm25_local_topk.remote(tw, k, theta0)
+                 for s in self.shards[1:]])
+        else:
+            outs = ray.get([s.bm25_local_topk.remote(tw, k)
+                            for s in self.shards])
         docs = np.concatenate([np.asarray(d, np.int64) for d, _ in outs]) \
             if outs else np.empty(0, np.int64)
         scores = np.concatenate([np.asarray(s, np.float64) for _, s in outs]) \

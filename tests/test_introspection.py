@@ -85,6 +85,21 @@ def test_sharded_serving_rank_identity(ray_session, tmp_path):
                 d2, s2 = sharded.bm25_topk(q, k)
                 assert d1.tolist() == d2.tolist(), (q, k)
                 np.testing.assert_allclose(s1, s2, rtol=1e-12)
+                # pilot wave (θ floor from shard 0) must be rank-identical
+                d3, s3 = sharded.bm25_topk(q, k, pilot=True)
+                assert d1.tolist() == d3.tolist(), (q, k, "pilot")
+                np.testing.assert_allclose(s1, s3, rtol=1e-12)
+                # per-shard pruned ≡ per-shard dense witness
+                import ray as _ray
+                tw = [(t, 1.0, single.doc_freq(t)) for t in q
+                      if single.doc_freq(t)]
+                if tw:
+                    for sh in sharded.shards:
+                        dp, sp = _ray.get(sh.bm25_local_topk.remote(tw, k))
+                        dd, sd = _ray.get(
+                            sh.bm25_local_topk_dense.remote(tw, k))
+                        assert dp == dd, (q, k)
+                        np.testing.assert_allclose(sp, sd, rtol=1e-12)
                 t1, v1 = single.tfidf_topk(q, k)
                 t2, v2 = sharded.tfidf_topk(q, k)
                 assert t1.tolist() == t2.tolist(), (q, k)

@@ -72,3 +72,43 @@ def test_english_long_bounded(en_tok, text, expected):
     out = en_tok.tokenize(text)
     assert time.time() - t0 < 20.0       # reference @Test(timeout=20000)
     assert out == expected
+
+
+@needs_ref
+def test_japanese_corpus_end_to_end(ray_session, tmp_path):
+    """A space-free (Japanese) corpus indexes END TO END with the word-break
+    analyzer selected as an ordinary IndexConfig.analyzer, and queries
+    resolve through the standard IndexReader (reference ComposableAnalyzer
+    + JapaneseWordBreakTokenizer chain as the indexing analyzer)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from peterman_search_engine_ray.config import IndexConfig
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+
+    docs = ["蓼食う虫も好き好き",
+            "猿も木から落ちる",
+            "門前の小僧習わぬ経を読む",
+            "猿も木から落ちる蓼食う虫も好き好き"]
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }))
+    idx = str(tmp_path / "ja_idx")
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=12,
+                      positional=True, analyzer=f"wordbreak:{_JA}")
+    m = build_index(corpus, idx, cfg, resume=False)
+    assert m["n_docs"] == 4
+
+    r = IndexReader(idx)
+    # "猿" appears in docs 1 and 3; "蓼" in docs 0 and 3
+    assert sorted(r.search_keyword("猿")) == [1, 3]
+    assert sorted(r.search_keyword("蓼")) == [0, 3]
+    assert sorted(r.search_and(["猿", "蓼"])) == [3]
+    # phrase: 蓼 食う adjacent in docs 0 and 3 (positions are analyzer-output
+    # indices after stopword drop — same stream the DP emits)
+    assert sorted(r.search_phrase(["蓼", "食う"])) == [0, 3]
+    # BM25 over the word-break index ranks the doc containing both proverbs
+    ids, _ = r.bm25_topk_auto(["蓼", "猿"], 2)
+    assert 3 in ids.tolist()
