@@ -36,6 +36,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -43,6 +44,64 @@ from ..functions.textstats import md5_lower64_arr, raw_tokens
 from .shuffle import hash_partition as _hash_partition
 
 _MERSENNE = (1 << 61) - 1
+
+# raw_tokens' separator set as an RE2 split pattern (textstats._TOKEN_RE
+# findall ≡ split-on-separator-runs + drop empties; conformance-tested for
+# the analysis twin in stages/tokenize.py)
+_SEP_PATTERN = "[ \t\n\r,.;?!]+"
+
+
+def _flat_raw_tokens(texts: list) -> tuple[pa.Array, np.ndarray]:
+    """Batch-vectorized ``raw_tokens``: one Arrow regex split over the whole
+    batch → (flat token array, doc index per token)."""
+    arr = pa.array([("" if t is None else t).lower() for t in texts],
+                   pa.string())
+    toks = pc.split_pattern_regex(arr, _SEP_PATTERN)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    didx = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "")
+    keepnp = keep.to_numpy(zero_copy_only=False)
+    return flat.filter(keep), didx[keepnp]
+
+
+def _batch_shingle_hashes(texts: list, k: int) -> tuple[np.ndarray,
+                                                        np.ndarray]:
+    """(doc_idx, shingle_hash) for every doc in the batch, replicating
+    ``shingle_set`` semantics (k-grams joined by " "; a doc with 0 <
+    n_tokens < k contributes its individual tokens) — duplicates are NOT
+    removed (min over a multiset equals min over its set, so minhash
+    signatures are unchanged).  Hashes are the same
+    ``pd.util.hash_array % (2³¹-1)`` the per-doc path used."""
+    flat, d = _flat_raw_tokens(texts)
+    n = len(flat)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    cnt = np.bincount(d, minlength=len(texts))
+    parts_s, parts_d = [], []
+    if n >= k:
+        m = n - k + 1
+        valid = d[:m] == d[k - 1:]          # all k tokens in the same doc
+        if valid.any():
+            cols = [flat.slice(j, m) for j in range(k)]
+            grams = (pc.binary_join_element_wise(*cols, " ") if k > 1
+                     else cols[0])
+            vmask = pa.array(valid)
+            parts_s.append(grams.filter(vmask))
+            parts_d.append(d[:m][valid])
+    short = (cnt[d] < k) if k > 1 else np.zeros(n, bool)
+    if short.any():
+        parts_s.append(flat.filter(pa.array(short)))
+        parts_d.append(d[short])
+    if not parts_s:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    strings = np.concatenate([np.asarray(p.to_numpy(zero_copy_only=False),
+                                         dtype=object) for p in parts_s])
+    gdoc = np.concatenate(parts_d).astype(np.int64)
+    x = (pd.util.hash_array(strings)
+         % np.uint64(_MERSENNE31)).astype(np.int64)
+    return gdoc, x
 
 
 def make_pair_emitter(key_cols: list[str], max_group: int,
@@ -311,11 +370,30 @@ class MinHasher:
         return sig.astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]
+        """Batch-vectorized signatures: ONE regex split + ONE hash + ONE
+        (num_perm × n_shingles) modmul for the whole batch, then per-doc
+        column minima via ``np.minimum.reduceat`` — bit-identical to the
+        per-doc :meth:`signature` (tested), with no per-doc Python."""
+        n_docs = batch.num_rows
+        gdoc, x = _batch_shingle_hashes(batch["text"].to_pylist(), self.k)
+        sig = np.full((n_docs, self.num_perm), _MERSENNE31, dtype=np.int64)
+        if x.size:
+            order = np.argsort(gdoc, kind="stable")
+            gdoc, x = gdoc[order], x[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], gdoc[1:] != gdoc[:-1])))
+            # modmul once per UNIQUE shingle hash (Zipfian text repeats
+            # shingles across docs), then a cheap column gather
+            xu, inv = np.unique(x, return_inverse=True)
+            Hu = ((self.a[:, None] * xu[None, :]) % _MERSENNE31
+                  + self.b[:, None]) % _MERSENNE31
+            sig[gdoc[starts]] = np.minimum.reduceat(
+                Hu[:, inv], starts, axis=1).T
+        offsets = np.arange(n_docs + 1, dtype=np.int32) * self.num_perm
         return pa.table({
             "doc_id": batch["doc_id"],
-            "sig": pa.array([s.tolist() for s in sigs],
-                            pa.list_(pa.int64())),
+            "sig": pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(sig.ravel(), pa.int64())),
         })
 
 
@@ -343,18 +421,26 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64,
         concurrency=(1, 8))
 
     def band_explode(batch: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes = [], [], []
-        for d, sig in zip(batch["doc_id"].to_pylist(),
-                          batch["sig"].to_pylist()):
-            s = np.asarray(sig).reshape(bands, rows_per_band)
-            for bi in range(bands):
-                ids.append(d)
-                band_ids.append(bi)
-                # int tuple hash is deterministic across processes
-                band_hashes.append(hash(tuple(s[bi].tolist())))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "band": pa.array(band_ids, pa.int32()),
-                         "bh": pa.array(band_hashes, pa.int64())})
+        """One FNV-1a fold over the (docs × bands × rows) signature tensor
+        — rows_per_band iterations of uint64 ops, no per-doc Python.
+        Equal band rows hash equal (what banding needs); any accidental
+        collision only adds a candidate the exact verify pass rejects."""
+        n_docs = batch.num_rows
+        if n_docs == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "bh": pa.array([], pa.int64())})
+        sig_col = batch["sig"].combine_chunks()
+        S = np.asarray(sig_col.flatten()).reshape(
+            n_docs, bands, rows_per_band).astype(np.uint64)
+        h = np.full((n_docs, bands), 0xcbf29ce484222325, np.uint64)
+        for j in range(rows_per_band):
+            h = (h ^ S[:, :, j]) * np.uint64(0x100000001b3)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(batch["doc_id"].to_numpy(), bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32),
+                                     n_docs)),
+            "bh": pa.array(h.ravel().astype(np.int64))})
 
     bands_ds = sig_ds.map_batches(band_explode, batch_format="pyarrow")
     cand = (_hash_partition(bands_ds, ["band", "bh"], num_parts)
@@ -415,10 +501,33 @@ class SimHasher:
         return int(((votes > 0) * self.bit_cols).sum(dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = [self.simhash(t or "") for t in batch["text"].to_pylist()]
+        """Batch-vectorized: ONE regex split, md5 once per batch-unique
+        token (dictionary-encoded), per-(doc, token) counts via np.unique
+        over packed keys, bit votes via one reduceat — identical simhashes
+        to the per-doc :meth:`simhash` (tested)."""
+        n_docs = batch.num_rows
+        sim = np.zeros(n_docs, np.uint64)
+        flat, d = _flat_raw_tokens(batch["text"].to_pylist())
+        if len(flat):
+            denc = pc.dictionary_encode(flat)
+            codes = np.asarray(denc.indices).astype(np.int64)
+            uniq_tokens = denc.dictionary.to_pylist()
+            hs = md5_lower64_arr(uniq_tokens)          # one md5 per unique
+            # per-(doc, token) multiplicities: docs and codes both < 2^31
+            key = (d.astype(np.int64) << 32) | codes
+            uk, cnts = np.unique(key, return_counts=True)
+            ud = (uk >> 32).astype(np.int64)
+            uc = (uk & 0xFFFFFFFF).astype(np.int64)
+            bits = (hs[uc][:, None] & self.bit_cols[None, :]) != 0
+            contrib = np.where(bits, cnts[:, None], -cnts[:, None])
+            starts = np.flatnonzero(
+                np.concatenate(([True], ud[1:] != ud[:-1])))
+            votes = np.add.reduceat(contrib, starts, axis=0)
+            sim[ud[starts]] = ((votes > 0) * self.bit_cols[None, :]).sum(
+                axis=1, dtype=np.uint64)
         return pa.table({
             "doc_id": batch["doc_id"],
-            "simhash": pa.array(np.array(out, dtype=np.uint64).astype(np.int64)),
+            "simhash": pa.array(sim.astype(np.int64)),
         })
 
 
@@ -430,19 +539,17 @@ def simhash_pairs(ds: "ray.data.Dataset", max_dist: int = 3,
     sh = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
 
     def block_explode(batch: pa.Table) -> pa.Table:
+        """np.repeat/np.tile block fan-out — no .tolist() loops."""
         h = batch["simhash"].to_numpy().astype(np.uint64)
         ids = batch["doc_id"].to_numpy()
-        blk_ids, blks, docs, full = [], [], [], []
-        for b in range(4):
-            sub = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            blk_ids.extend([b] * len(ids))
-            blks.extend(sub.tolist())
-            docs.extend(ids.tolist())
-            full.extend(h.astype(np.int64).tolist())
-        return pa.table({"block": pa.array(blk_ids, pa.int32()),
-                         "sub": pa.array(blks, pa.int64()),
-                         "doc_id": pa.array(docs, pa.int64()),
-                         "simhash": pa.array(full, pa.int64())})
+        n = ids.size
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[:, None]
+        sub = ((h[None, :] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            "block": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
+            "sub": pa.array(sub.ravel()),
+            "doc_id": pa.array(np.tile(ids.astype(np.int64), 4)),
+            "simhash": pa.array(np.tile(h.astype(np.int64), 4))})
 
     blocks_ds = sh.map_batches(block_explode, batch_format="pyarrow")
     cand = (_hash_partition(blocks_ds, ["block", "sub"], num_parts)

@@ -392,3 +392,34 @@ def test_ivf_ann(ray_session, tmp_path):
     # (the query's own cluster spans at most a few cells)
     assert ids.tolist() == exact
     assert np.all(np.diff(cos) <= 1e-12)      # descending
+
+
+def test_vectorized_sketch_kernels_match_per_doc():
+    """The batch-vectorized MinHash/SimHash kernels must be bit-identical
+    to their per-doc reference methods on empty/short/unicode/dup texts."""
+    import pyarrow as pa
+    from peterman_search_engine_ray.stages.dedup import MinHasher, SimHasher
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "", "one", "a b", "the the the the",
+             "punct,marks.every;where?now!",
+             "蓼食う虫も好き好き 猿も木から落ちる",
+             "the quick brown fox jumps over the lazy dog",  # exact dup
+             None, "x " * 50]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    mh = MinHasher(num_perm=64, k=2)
+    got = mh(batch)
+    for i, t in enumerate(texts):
+        want = mh.signature(t or "")
+        assert got["sig"][i].as_py() == want.tolist(), i
+
+    sh = SimHasher()
+    got_s = sh(batch)["simhash"].to_numpy().astype(np.uint64)
+    for i, t in enumerate(texts):
+        assert int(got_s[i]) == sh.simhash(t or ""), i
+
+    # shingle semantics for k=3 (short docs contribute single tokens)
+    mh3 = MinHasher(num_perm=16, k=3)
+    got3 = mh3(batch)
+    for i, t in enumerate(texts):
+        assert got3["sig"][i].as_py() == mh3.signature(t or "").tolist(), i
