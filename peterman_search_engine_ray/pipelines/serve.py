@@ -83,13 +83,23 @@ class ShardSearcher:
     def bm25_local_topk(self, terms_weights: list[tuple[str, float, int]],
                         k: int, theta0: float = float("-inf")
                         ) -> tuple[list[int], list[float]]:
-        """Local top-k given GLOBAL (term, qtf, global_df) weights, through
-        the block-max pruned path (query._bm25_pruned_terms) — each shard
+        """Local top-k given GLOBAL (term, qtf, global_df) weights.
+
+        Same adaptive dispatch as the single-reader ``bm25_topk_auto``:
+        when every query term is common (df > 5% of N) pruning cannot skip
+        anything and only adds bookkeeping — use the dense accumulator;
+        otherwise the block-max pruned path (query._bm25_pruned_terms)
         skips term-list suffixes and posting blocks that cannot reach the
-        current θ, exactly like the single-reader path.  ``theta0`` seeds θ
-        with a score floor another shard already established (the pilot
-        wave in ShardedIndex.bm25_topk)."""
-        d, s = self.reader._bm25_pruned_terms(list(terms_weights), k, theta0)
+        current θ.  ``theta0`` seeds θ with a score floor another shard
+        already established (the pilot wave in ShardedIndex.bm25_topk);
+        an explicit floor forces the pruned path (that is its point).
+        Both paths are rank-identical (tested)."""
+        tw = list(terms_weights)
+        min_df = min((df for _, _, df in tw), default=0)
+        if not np.isfinite(theta0) and \
+                min_df > 0.05 * max(self.reader.n_docs, 1):
+            return self.bm25_local_topk_dense(tw, k)
+        d, s = self.reader._bm25_pruned_terms(tw, k, theta0)
         return d.tolist(), s.tolist()
 
     def bm25_local_topk_dense(self, terms_weights, k: int
