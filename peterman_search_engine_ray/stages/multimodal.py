@@ -1,13 +1,15 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata, with
 decode / feature-extract / resize / frame-sample as actor-pool stages.
 
-The container ships no image/audio libraries, so the *codec* layer is a
-deterministic fake format (``FAKI``/``FAKA``/``FAKV`` headers) — but every
-Ray-side concern is real and tested: binary-column schema, small
-``batch_size`` for fat rows, actor-pool signatures with per-actor init,
-Arrow-native outputs.  Swapping ``_decode_fake_*`` for PIL/ffmpeg is a
-one-function change per modality; anything else raises
-``NotImplementedError`` loudly rather than guessing.
+Codec layer: RIFF/WAVE PCM16 audio decodes for real through the stdlib
+``wave`` module; images decode through PIL when it is installed
+(import-try — this container ships no image libraries); video needs
+ffmpeg and stays stubbed.  The deterministic fake formats
+(``FAKI``/``FAKA``/``FAKV`` headers) exist so tests and the SQL oracle can
+regenerate every byte; every Ray-side concern is real and tested either
+way: binary-column schema, small ``batch_size`` for fat rows, actor-pool
+signatures with per-actor init, Arrow-native outputs.  Undecodable
+payloads raise ``NotImplementedError`` loudly rather than guessing.
 
 Fake formats (big-endian):
   image: b"FAKI" + u16 height + u16 width + u8 channels + h*w*c payload bytes
@@ -66,19 +68,43 @@ def synth_media_table(n: int, seed: int = 5) -> pa.Table:
 # --- decode kernels ---------------------------------------------------------
 
 def _decode_fake_image(b: bytes) -> np.ndarray:
-    if b[:4] != b"FAKI":
+    """FAKI → (h, w, c) uint8; real formats (PNG/JPEG/…) decode through
+    PIL when it is installed (import-try — this container ships none)."""
+    if b[:4] == b"FAKI":
+        h, w, c = struct.unpack(">HHB", b[4:9])
+        return np.frombuffer(b, np.uint8, count=h * w * c,
+                             offset=9).reshape(h, w, c)
+    try:
+        import io
+
+        from PIL import Image  # optional dependency; absent here
+    except ImportError:
         raise NotImplementedError(
-            "real image codecs unavailable in this container; "
-            "only the FAKI fake format decodes")
-    h, w, c = struct.unpack(">HHB", b[4:9])
-    return np.frombuffer(b, np.uint8, count=h * w * c, offset=9).reshape(h, w, c)
+            "real image codecs unavailable in this container (PIL not "
+            "installed); only the FAKI fake format decodes") from None
+    img = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+    return img
 
 
 def _decode_fake_audio(b: bytes) -> tuple[int, np.ndarray]:
-    if b[:4] != b"FAKA":
-        raise NotImplementedError("only the FAKA fake format decodes")
-    rate, n = struct.unpack(">II", b[4:12])
-    return rate, np.frombuffer(b, ">i2", count=n, offset=12).astype(np.int16)
+    """FAKA → (rate, int16 samples); real RIFF/WAVE PCM decodes through
+    the stdlib ``wave`` module (no external dependency)."""
+    if b[:4] == b"FAKA":
+        rate, n = struct.unpack(">II", b[4:12])
+        return rate, np.frombuffer(b, ">i2", count=n,
+                                   offset=12).astype(np.int16)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        import io
+        import wave
+        with wave.open(io.BytesIO(b)) as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError("only PCM16 WAV is supported")
+            frames = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+            if w.getnchannels() > 1:     # downmix by first channel
+                frames = frames[::w.getnchannels()]
+            return w.getframerate(), frames.astype(np.int16)
+    raise NotImplementedError(
+        "undecodable audio payload; FAKA and PCM16 WAV are supported")
 
 
 # --- actor-pool stages ------------------------------------------------------

@@ -423,3 +423,61 @@ def test_vectorized_sketch_kernels_match_per_doc():
     got3 = mh3(batch)
     for i, t in enumerate(texts):
         assert got3["sig"][i].as_py() == mh3.signature(t or "").tolist(), i
+
+
+def test_audio_wav_real_codec(ray_session):
+    """RIFF/WAVE PCM16 decodes through the stdlib wave module — a REAL
+    format, no fake header — and flows through the AudioFeatures stage."""
+    import io
+    import wave
+
+    import ray.data as rd
+
+    def make_wav(seed, rate=8000, n=256):
+        x = (((seed * 2654435761 + np.arange(n, dtype=np.int64) * 48271)
+              % 65536) - 32768).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(x.tobytes())
+        return buf.getvalue(), x
+
+    blobs, raws = zip(*[make_wav(s) for s in range(6)])
+    tbl = pa.table({"media_id": pa.array(range(6), pa.int64()),
+                    "audio": pa.array(list(blobs), pa.binary())})
+    out = (rd.from_arrow(tbl)
+           .map_batches(mm.AudioFeatures, batch_format="pyarrow",
+                        batch_size=3, concurrency=2)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert (out["sample_rate"] == 8000).all()
+    assert (out["n_samples"] == 256).all()
+    for i, x in enumerate(raws):
+        sq = int((x.astype(np.int64) ** 2).sum())
+        assert abs(out["rms"][i] - np.sqrt(sq / 256)) < 1e-12
+        assert out["zero_crossings"][i] == int(
+            ((x[:-1].astype(np.int32) * x[1:]) < 0).sum())
+
+
+def test_image_real_codec_gate():
+    """Without PIL the image decoder must refuse non-FAKI payloads loudly
+    (and decode through PIL when it exists)."""
+    from peterman_search_engine_ray.stages.multimodal import (
+        _decode_fake_image)
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            _decode_fake_image(b"\x89PNG\r\n\x1a\nnotarealpng")
+    else:  # pragma: no cover - container has no PIL
+        import io
+
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 4), (1, 2, 3)).save(buf, "PNG")
+        img = _decode_fake_image(buf.getvalue())
+        assert img.shape == (4, 4, 3)
