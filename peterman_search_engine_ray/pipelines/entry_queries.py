@@ -134,11 +134,41 @@ def q_tokenize_term_counts(sf_dir: str):
 
 
 def q_term_df_top100(sf_dir: str):
-    out = (_exploded(sf_dir)
-           .groupby("term").count()
-           .to_pandas()
-           .rename(columns={"count()": "df"}))
-    out = out.sort_values(["df", "term"], ascending=[False, True]).head(100)
+    """Top-100 terms by df.  Map-side partial counts → ONE hash exchange
+    of (term, partial) rows → per-block combine + LOCAL top-100 (sound:
+    after the keyed exchange every term lives wholly in one block, so the
+    global top-100 ⊆ ∪ block top-100s).  The driver merges 100·blocks
+    candidate rows — never the vocabulary (10⁸–10⁹ terms at web scale)."""
+    from ..stages.shuffle import hash_partition
+    n_parts = 16
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+        if batch.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        denc = pc_.dictionary_encode(batch["term"].combine_chunks())
+        counts = np.bincount(np.asarray(denc.indices),
+                             minlength=len(denc.dictionary))
+        return pa.table({"term": denc.dictionary,
+                         "df": pa.array(counts.astype(np.int64))})
+
+    def combine_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = batch.to_pandas().groupby("term", sort=False)["df"].sum()
+        out = df.reset_index().sort_values(["df", "term"],
+                                           ascending=[False, True]).head(100)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cand = (hash_partition(
+                _exploded(sf_dir).select_columns(["term"])
+                .map_batches(partial_counts, batch_format="pyarrow"),
+                ["term"], n_parts)
+            .map_batches(combine_topk, batch_format="pyarrow")
+            .to_pandas())
+    cand["df"] = cand["df"].astype(np.int64)
+    out = cand.sort_values(["df", "term"], ascending=[False, True]).head(100)
     return out.reset_index(drop=True)
 
 
@@ -383,8 +413,12 @@ def q_extend_search(sf_dir: str):
     shutil.rmtree(idx, ignore_errors=True)     # extend is not idempotent
     cfg = IndexConfig(num_term_partitions=8, doc_range_bits=12,
                       positional=True, analyzer="nostem")
-    ids = _docs(sf_dir).select_columns(["doc_id"]).to_pandas()["doc_id"]
-    cut = int(np.quantile(ids.to_numpy(), 0.8))
+    # cut at ~80% of the id range (min/max aggregates only — no corpus-
+    # scale id collect; ANY cut is valid, the oracle covers all documents)
+    dstats = _docs(sf_dir).select_columns(["doc_id"])
+    lo = dstats.min("doc_id")
+    hi = dstats.max("doc_id")
+    cut = int(lo + 0.8 * (hi - lo))
 
     def part_filter(lo, hi):
         def fn(batch: pa.Table) -> pa.Table:
