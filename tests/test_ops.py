@@ -65,6 +65,10 @@ def test_exact_dedup(ray_session):
     from peterman_search_engine_ray.stages.dedup import exact_dedup
     out = exact_dedup(rd.from_arrow(_docs_table())).to_pandas()
     assert sorted(out["doc_id"]) == [0, 1, 2, 4, 5]  # 3 deduped into 0
+    # the loser emitter is the exact complement (result-scale set)
+    from peterman_search_engine_ray.stages.dedup import exact_dedup_losers
+    losers = exact_dedup_losers(rd.from_arrow(_docs_table())).to_pandas()
+    assert sorted(losers["doc_id"]) == [3]
 
 
 def test_ngram_jaccard(ray_session):
