@@ -15,11 +15,11 @@ Parity rules that make the oracles exact:
 
 Stemmed-analyzer variants (Porter is not SQL-expressible) and the
 word-break DP are registered as rows-only and verified in pytest instead;
-everything else — 33 of 35 queries, including the sketches, PageRank,
+everything else — 34 of 36 queries, including the sketches, PageRank,
 websearch, media features, event windows, sessionization, joins, curation,
-incremental extension, and the two ANN top-k queries (run over a clustered
-derived table where the index achieves recall 1 and the exact cosine
-top-k SQL is the oracle) — carries an exact DuckDB oracle.
+chunking, incremental extension, and the two ANN top-k queries (run over a
+clustered derived table where the index achieves recall 1 and the exact
+cosine top-k SQL is the oracle) — carries an exact DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -333,6 +333,19 @@ def q_sessionize(sf_dir: str):
     vectorized per-block sessionizer."""
     from ..stages.events import sessionize
     return sessionize(_events(sf_dir))
+
+
+_CHUNK_L, _CHUNK_S = 64, 48
+
+
+def q_chunk_docs(sf_dir: str):
+    """Token-bounded sliding-window chunking (the pre-training transform
+    between curation and packing): 64-token chunks, stride 48.  Pure
+    map-side fan-out — no shuffle, no driver state; the result rows ARE
+    the output."""
+    from ..stages.chunk import chunk_documents
+    return (chunk_documents(_docs(sf_dir), _CHUNK_L, _CHUNK_S)
+            .sort(["doc_id", "chunk_id"]))
 
 
 def q_orders_by_nation(sf_dir: str):
@@ -691,6 +704,7 @@ def queries():
         "sessionize": q_sessionize,
         "props_stats": q_props_stats,
         "orders_by_nation": q_orders_by_nation,
+        "chunk_docs": q_chunk_docs,
         "curate_corpus": q_curate_corpus,
         "sharded_bm25": q_sharded_bm25,
         "top_docs_per_source": q_top_docs_per_source,
@@ -926,6 +940,20 @@ WHERE doc_id IN (SELECT doc_id FROM quality)
   AND doc_id IN (SELECT doc_id FROM winners)
   AND doc_id NOT IN (SELECT b FROM ({ngram}))
 ORDER BY doc_id""",
+
+        "chunk_docs": f"""
+WITH toks AS (SELECT doc_id, {_TS_RAW} AS ts FROM documents),
+c AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+chunks AS (
+  SELECT doc_id, g.j AS chunk_id,
+         ts[g.j * {_CHUNK_S} + 1 :
+            least(g.j * {_CHUNK_S} + {_CHUNK_L}, n)] AS ct
+  FROM c, LATERAL (SELECT unnest(generate_series(0,
+         CAST(ceil(greatest(n - {_CHUNK_L}, 0) / {_CHUNK_S}.0) AS BIGINT)))
+         AS j) g)
+SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_tokens,
+       array_to_string(ct, ' ') AS chunk
+FROM chunks ORDER BY doc_id, chunk_id""",
 
         "orders_by_nation": """
 SELECT n.n_name AS n_name, count(*) AS n_orders

@@ -485,3 +485,35 @@ def test_image_real_codec_gate():
         Image.new("RGB", (4, 4), (1, 2, 3)).save(buf, "PNG")
         img = _decode_fake_image(buf.getvalue())
         assert img.shape == (4, 4, 3)
+
+
+def test_chunk_documents(ray_session):
+    """Sliding-window chunking: edge docs (empty, < L, == L, long) against
+    a per-doc reference implementation."""
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.chunk import chunk_documents
+    L, S = 5, 3
+    texts = ["", "one two", "a b c d e",
+             " ".join(f"t{i}" for i in range(12)),
+             "Pun,ct.uated; tokens? here! now"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = (chunk_documents(rd.from_arrow(tbl), L, S)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+
+    rows = []
+    for d, t in enumerate(texts):
+        toks = raw_tokens(t)
+        n = len(toks)
+        if n == 0:
+            continue
+        n_chunks = 1 + max(0, -(-(n - L) // S)) if n > L else 1
+        for j in range(n_chunks):
+            ct = toks[j * S: j * S + L]
+            rows.append((d, j, len(ct), " ".join(ct)))
+    ref = pd.DataFrame(rows, columns=["doc_id", "chunk_id", "n_tokens",
+                                      "chunk"])
+    pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+    # invariants: first chunk starts at token 0; last chunk ends at token n
+    assert (got.groupby("doc_id")["chunk_id"].min() == 0).all()
