@@ -517,3 +517,59 @@ def test_chunk_documents(ray_session):
     pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
     # invariants: first chunk starts at token 0; last chunk ends at token n
     assert (got.groupby("doc_id")["chunk_id"].min() == 0).all()
+
+
+def _uf_components(n_nodes, pairs):
+    """Reference union-find: node -> min id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for x in range(n_nodes):
+        r = find(x)
+        out.setdefault(r, []).append(x)
+    return {x: min(members) for r, members in out.items()
+            for x in members if len(members) > 1}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_random(ray_session, seed):
+    """Large-star/small-star clusters == union-find on random graphs."""
+    from peterman_search_engine_ray.stages.cluster import connected_components
+    rng = np.random.default_rng(seed)
+    n = 300
+    m = int(rng.integers(50, 400))
+    pairs = rng.integers(0, n, size=(m, 2))
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    df = pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]}).astype(np.int64)
+    got = (connected_components(df, num_parts=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ref = _uf_components(n, pairs.tolist())
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == ref
+
+
+def test_connected_components_chain_and_edge_cases(ray_session):
+    """A 120-node path (worst-case diameter for label propagation),
+    duplicate + reversed input pairs, and the empty input."""
+    from peterman_search_engine_ray.stages.cluster import connected_components
+    chain = [(i, i + 1) for i in range(119)]
+    extra = [(200, 201), (201, 200), (200, 201), (300, 300)]  # dups + self
+    df = pd.DataFrame(chain + extra, columns=["a", "b"]).astype(np.int64)
+    got = (connected_components(df, num_parts=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ref = _uf_components(302, chain + extra)
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == ref
+    assert 300 not in set(got["doc_id"])  # self-loop-only node dropped
+
+    empty = connected_components(
+        pd.DataFrame({"a": [], "b": []}), num_parts=4).to_pandas()
+    assert len(empty) == 0

@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT = ["windowed_counts", "sessionize", "props_stats",
            "embedding_neardup", "ann_cosine_top20", "simhash_pairs",
-           "minhash_pairs", "dedup_exact", "orders_by_nation",
+           "minhash_pairs", "dedup_clusters", "dedup_exact",
+           "orders_by_nation",
            "top_docs_per_source", "fingerprints", "curate_corpus"]
 
 
