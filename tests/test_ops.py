@@ -573,3 +573,18 @@ def test_connected_components_chain_and_edge_cases(ray_session):
     empty = connected_components(
         pd.DataFrame({"a": [], "b": []}), num_parts=4).to_pandas()
     assert len(empty) == 0
+
+
+def test_connected_components_dataset_input(ray_session):
+    """The distributed contract: pairs arrive as a multi-block Dataset
+    (the 100 TB shape), not a driver frame."""
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.cluster import connected_components
+    pairs = [(i, i + 1) for i in range(0, 40, 2)]      # 20 two-node comps
+    pairs += [(100, 101), (101, 102), (102, 103)]      # one 4-node chain
+    df = pd.DataFrame(pairs, columns=["a", "b"]).astype(np.int64)
+    ds = rd.from_pandas(df).repartition(6)
+    got = (connected_components(ds, num_parts=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ref = _uf_components(104, pairs)
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == ref
