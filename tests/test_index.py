@@ -434,3 +434,32 @@ def test_read_webpages_assigns_dense_ids(ray_session, tmp_path):
     r = IndexReader(idx)
     assert r.manifest["n_docs"] == 40
     assert r.search_keyword("peterman").size == 40
+
+
+def test_keyword_snippets(built):
+    """Snippets reconstructed from the positional index == token windows
+    over the oracle's analyzed stream (first occurrence, +-width)."""
+    import pandas as pd
+    from peterman_search_engine_ray.stages.snippet import keyword_snippets
+    reader, oracle, *_ = built
+    for kw, width in [("grape", 3), ("peterman", 2), ("unique3", 3),
+                      ("nosuchword", 3)]:
+        got = keyword_snippets(reader, kw, width=width).to_pandas()
+        if len(got):
+            got = got.sort_values("doc_id").reset_index(drop=True)
+        term_l = oracle._q(kw)
+        rows = []
+        if term_l:
+            term = term_l[0]
+            for i, toks in enumerate(oracle.tokens):
+                if term in toks:
+                    p = toks.index(term)
+                    rows.append((oracle.doc_ids[i],
+                                 " ".join(toks[max(0, p - width):
+                                               p + width + 1])))
+        exp = pd.DataFrame(rows, columns=["doc_id", "snippet"])
+        if len(exp) == 0:
+            assert len(got) == 0, kw
+            continue
+        pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()),
+                                      obj=kw)

@@ -18,7 +18,8 @@ DEFAULT = ["windowed_counts", "sessionize", "props_stats",
            "embedding_neardup", "ann_cosine_top20", "simhash_pairs",
            "minhash_pairs", "dedup_clusters", "dedup_exact",
            "orders_by_nation",
-           "top_docs_per_source", "fingerprints", "curate_corpus"]
+           "top_docs_per_source", "fingerprints", "curate_corpus",
+           "snippets"]
 
 
 def main():
