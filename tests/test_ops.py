@@ -588,3 +588,49 @@ def test_connected_components_dataset_input(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     ref = _uf_components(104, pairs)
     assert dict(zip(got["doc_id"], got["cluster_id"])) == ref
+
+
+def test_value_quantiles_matches_duckdb(ray_session):
+    """Distributed histogram quantiles == DuckDB quantile_disc on random
+    integer columns of several sizes (incl. n=1 and heavy ties)."""
+    import duckdb
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.sample import value_quantiles
+    rng = np.random.default_rng(11)
+    for n, hi in [(1, 5), (37, 4), (999, 50), (5000, 3)]:
+        vals = rng.integers(0, hi, size=n).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"x": pa.array(vals)})).repartition(5)
+        got = value_quantiles(ds, "x", qs=(0.25, 0.5, 0.9, 0.99),
+                              num_parts=4)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"x": vals}))
+        exp = con.sql(
+            "SELECT quantile_disc(x, 0.25) a, quantile_disc(x, 0.5) b, "
+            "quantile_disc(x, 0.9) c, quantile_disc(x, 0.99) d FROM t"
+        ).fetchone()
+        assert (int(got["q25"][0]), int(got["q50"][0]),
+                int(got["q90"][0]), int(got["q99"][0])) == tuple(
+                    int(v) for v in exp), (n, hi)
+
+
+def test_stratified_sample_deterministic(ray_session):
+    """Per-group sample == pandas reference over the same md5 keys, and
+    identical across re-runs / repartitionings."""
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.sample import (
+        stratified_sample, _sample_keys)
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    grp = np.array([f"s{i % 7}" for i in ids])
+    tbl = pa.table({"doc_id": pa.array(ids), "source": pa.array(grp)})
+    ref = (pd.DataFrame({"source": grp, "doc_id": ids,
+                         "skey": _sample_keys(ids)})
+           .sort_values(["source", "skey", "doc_id"]))
+    ref["rank"] = ref.groupby("source").cumcount()
+    ref = (ref[ref["rank"] < 6][["source", "doc_id", "rank"]]
+           .reset_index(drop=True))
+    for parts in (3, 11):
+        got = stratified_sample(
+            rd.from_arrow(tbl).repartition(parts), "source", "doc_id", 6,
+            num_parts=4).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
