@@ -634,3 +634,42 @@ def test_stratified_sample_deterministic(ray_session):
             rd.from_arrow(tbl).repartition(parts), "source", "doc_id", 6,
             num_parts=4).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+
+
+def test_edit_distances_match_duckdb():
+    """Vectorized cross-term Levenshtein DP == DuckDB levenshtein on
+    random ASCII strings (incl. empty and length-skewed cases)."""
+    import duckdb
+    from peterman_search_engine_ray.stages.spell import edit_distances
+    rng = np.random.default_rng(5)
+    alpha = np.array(list("abcde"))
+    terms = ["".join(rng.choice(alpha, size=rng.integers(0, 12)))
+             for _ in range(300)] + ["", "a", "abcdefghijklmnop"]
+    for probe in ("qery", "ab", "", "abcde"):
+        got = edit_distances(pa.array(terms, pa.string()), probe)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"s": terms}))
+        exp = [r[0] for r in con.sql(
+            f"SELECT levenshtein(s, '{probe}') FROM t").fetchall()]
+        assert got.tolist() == exp, probe
+
+
+def test_spell_correct(ray_session):
+    """Block-parallel reduction picks the global (dist, -df, term) min."""
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.spell import spell_correct
+    vocab = pd.DataFrame({
+        "term": ["aaa", "aab", "query", "data", "stream"],
+        "df":   [9,     9,     40,      90,     10]})
+    ds = rd.from_pandas(vocab).repartition(3)
+    out = spell_correct(ds, ["aax", "qery", "datx"])
+    got = {r.probe: (r.term, r.df, r.dist) for r in out.itertuples()}
+    # aax: aaa and aab both dist 1, df tied -> lexicographic
+    assert got["aax"] == ("aaa", 9, 1)
+    assert got["qery"] == ("query", 40, 1)
+    assert got["datx"] == ("data", 90, 1)
+
+    # df tie-break: higher df wins at equal distance
+    vocab2 = vocab.assign(df=[3, 9, 40, 90, 10])
+    out2 = spell_correct(rd.from_pandas(vocab2).repartition(2), ["aax"])
+    assert out2.iloc[0]["term"] == "aab" and int(out2.iloc[0]["df"]) == 9

@@ -19,7 +19,8 @@ DEFAULT = ["windowed_counts", "sessionize", "props_stats",
            "minhash_pairs", "dedup_clusters", "dedup_exact",
            "orders_by_nation",
            "top_docs_per_source", "fingerprints", "curate_corpus",
-           "snippets", "stratified_sample", "doc_len_quantiles"]
+           "snippets", "stratified_sample", "doc_len_quantiles",
+           "spell_correct"]
 
 
 def main():
