@@ -20,7 +20,8 @@ DEFAULT = ["windowed_counts", "sessionize", "props_stats",
            "orders_by_nation",
            "top_docs_per_source", "fingerprints", "curate_corpus",
            "snippets", "stratified_sample", "doc_len_quantiles",
-           "spell_correct", "related_terms", "more_like_this"]
+           "spell_correct", "related_terms", "more_like_this",
+           "prefix_search"]
 
 
 def main():
