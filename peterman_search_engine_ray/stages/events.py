@@ -86,6 +86,51 @@ def windowed_counts(events_ds: "ray.data.Dataset",
                .reset_index(drop=True))
 
 
+def windowed_unique_users(events_ds: "ray.data.Dataset",
+                          window_us: int = _US_PER_HOUR,
+                          num_parts: int = 32) -> pd.DataFrame:
+    """EXACT distinct users per tumbling window (the precise companion to
+    the HLL sketch).  Map-side (window, user) pair dedupe bounds each
+    batch's output to its distinct pairs; ONE hash exchange keyed by the
+    pair routes every copy of a pair to one block, so a per-block unique
+    is the global dedupe; per-block per-window counts (≤ windows rows per
+    block) are summed on the driver — windows are result-scale, users and
+    events never are."""
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"win_us": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64())})
+        win = (_ts_us(batch) // window_us) * window_us
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([win, uid], axis=1), axis=0)
+        return pa.table({"win_us": pa.array(uniq[:, 0]),
+                         "user_id": pa.array(uniq[:, 1])})
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"win_us": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        key = np.stack([batch["win_us"].to_numpy(zero_copy_only=False),
+                        batch["user_id"].to_numpy(zero_copy_only=False)],
+                       axis=1)
+        uniq = np.unique(key, axis=0)
+        wins, counts = np.unique(uniq[:, 0], return_counts=True)
+        return pa.table({"win_us": pa.array(wins),
+                         "n_users": pa.array(counts.astype(np.int64))})
+
+    out = (hash_partition(
+                events_ds.select_columns(["ts", "user_id"])
+                         .map_batches(pair_partial, batch_format="pyarrow"),
+                ["win_us", "user_id"], num_parts)
+           .map_batches(count_block, batch_format="pyarrow")
+           .to_pandas())
+    out = (out.groupby("win_us", sort=True)["n_users"].sum().reset_index())
+    for c in ("win_us", "n_users"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def sessionize(events_ds: "ray.data.Dataset",
                gap_us: int = 30 * 60_000_000,
                num_parts: int = 32,
