@@ -83,3 +83,45 @@ def chunk_documents(docs_ds: "ray.data.Dataset", chunk_tokens: int = 64,
     """(doc_id, text) Dataset → (doc_id, chunk_id, n_tokens, chunk) Dataset."""
     return docs_ds.map_batches(make_chunker(chunk_tokens, stride),
                                batch_format="pyarrow")
+
+
+def chunk_exact_dedup(chunks_ds: "ray.data.Dataset",
+                      num_parts: int = 32) -> "ray.data.Dataset":
+    """Chunk-level (paragraph-level) exact dedup — the sub-document
+    variant of ``dedup.exact_dedup``, run between chunking and packing so
+    boilerplate repeated ACROSS documents (headers, footers, templates)
+    is dropped even when no two whole documents match.
+
+    Winner per distinct chunk text = the lexicographically smallest
+    (doc_id, chunk_id).  Map-side md5 (the engine's SQL-parity hash),
+    one keyed exchange of (hash, doc_id, chunk_id) rows — never the
+    chunk text — and a vectorized per-block first-of-group pick, which
+    is the global winner because the partition key routes every copy of
+    a hash into one block."""
+    import hashlib
+
+    def md5_rows(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in batch["chunk"].to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string()),
+                         "doc_id": batch["doc_id"],
+                         "chunk_id": batch["chunk_id"]})
+
+    def winner_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64())})
+        h = np.asarray(batch["h"])
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        c = batch["chunk_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, d, h))
+        h, d, c = h[order], d[order], c[order]
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        return pa.table({"doc_id": pa.array(d[starts]),
+                         "chunk_id": pa.array(c[starts])})
+
+    from .shuffle import hash_partition
+    return (hash_partition(
+                chunks_ds.map_batches(md5_rows, batch_format="pyarrow"),
+                ["h"], num_parts)
+            .map_batches(winner_block, batch_format="pyarrow"))
