@@ -801,27 +801,36 @@ class IndexReader:
         return (doc_ids[keep], *(a[keep] for a in arrays))
 
     # -- doc store lookup (J4) ---------------------------------------------
-    def get_docs(self, doc_ids: np.ndarray) -> pd.DataFrame:
+    def forward_files(self, doc_ids: np.ndarray) -> list[str]:
+        """Forward-store parquet fragments whose doc RANGE contains a
+        requested id (``r=<doc_id >> bits>/`` partition pruning) — the
+        single source of truth for the point-get layout, shared by
+        get_docs, snippets, and more-like-this."""
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        fwd = os.path.join(self.index_dir, "forward")
+        bits = int(self.manifest["cfg"]["doc_range_bits"])
+        return [os.path.join(d, f)
+                for r in np.unique(ids >> bits)
+                if os.path.isdir(d := os.path.join(fwd, f"r={int(r)}"))
+                for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+
+    def get_docs(self, doc_ids: np.ndarray,
+                 columns: list[str] | None = None) -> pd.DataFrame:
         """Fetch forward-index rows for result doc_ids.  The forward store
         is partitioned by doc range (``r=<doc_id >> bits>/``), so only the
         partitions containing requested ids are opened — a point-get, not a
         dataset scan (reference MapdbDocStore.getDocument,
         MapdbDocStore.java:106-131)."""
         import pyarrow.dataset as pads
+        cols = columns or ["doc_id", "url", "doc_len"]
         ids = np.asarray(doc_ids, dtype=np.int64)
-        fwd = os.path.join(self.index_dir, "forward")
-        bits = int(self.manifest["cfg"]["doc_range_bits"])
-        files = [os.path.join(d, f)
-                 for r in np.unique(ids >> bits)
-                 if os.path.isdir(d := os.path.join(fwd, f"r={int(r)}"))
-                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        files = self.forward_files(ids)
         if not files:
             return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                                  "url": pd.Series(dtype=object),
                                  "doc_len": pd.Series(dtype=np.int32)})
-        dset = pads.dataset(files)
-        tbl = dset.to_table(columns=["doc_id", "url", "doc_len"],
-                            filter=pads.field("doc_id").isin(ids.tolist()))
+        tbl = pads.dataset(files).to_table(
+            columns=cols, filter=pads.field("doc_id").isin(ids.tolist()))
         return tbl.to_pandas()
 
 

@@ -21,8 +21,6 @@ per matching document.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -93,12 +91,7 @@ def keyword_snippets(reader, keyword: str,
     ids = np.asarray(reader.search_keyword(keyword), dtype=np.int64)
     if len(ids) == 0:
         return ray.data.from_arrow(_EMPTY)
-    bits = int(reader.manifest["cfg"]["doc_range_bits"])
-    fwd = os.path.join(reader.index_dir, "forward")
-    files = [os.path.join(d, f)
-             for r in np.unique(ids >> bits)
-             if os.path.isdir(d := os.path.join(fwd, f"r={int(r)}"))
-             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    files = reader.forward_files(ids)
     ds = ray.data.read_parquet(
         files, columns=["doc_id", "terms", "positions"])
     return ds.map_batches(_snippet_kernel(term, width, ray.put(ids)),

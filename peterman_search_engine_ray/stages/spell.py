@@ -39,11 +39,23 @@ def _char_matrix(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Arrow StringArray → (padded uint8 char matrix, byte lengths),
     built from the offsets/values buffers without per-term Python."""
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+    # string uses int32 offsets; large_string (what Arrow promotes to when
+    # a block's string data nears the 2 GiB offset limit — i.e. exactly
+    # the web-scale vocabulary case) uses int64.  Reading int64 offsets as
+    # int32 pairs would silently produce wrong distances.
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    else:
+        raise TypeError(f"expected (large_)string array, got {arr.type}")
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
         arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     lens = np.diff(off)
     width = int(lens.max()) if len(lens) else 0
+    if len(data) == 0:        # every string empty: buffer has no bytes
+        return np.zeros((len(lens), max(width, 1)), np.uint8), lens
     idx = off[:-1, None] + np.arange(max(width, 1))[None, :]
     valid = idx < off[1:, None]
     mat = np.where(valid, data[np.minimum(idx, len(data) - 1)], 0)

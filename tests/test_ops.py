@@ -652,6 +652,12 @@ def test_edit_distances_match_duckdb():
         exp = [r[0] for r in con.sql(
             f"SELECT levenshtein(s, '{probe}') FROM t").fetchall()]
         assert got.tolist() == exp, probe
+        # large_string offsets are int64 — must not be read as int32 pairs
+        got_ls = edit_distances(pa.array(terms, pa.large_string()), probe)
+        assert got_ls.tolist() == exp, ("large_string", probe)
+    # all-empty block: the values buffer has zero bytes
+    assert edit_distances(pa.array(["", ""], pa.string()),
+                          "ab").tolist() == [2, 2]
 
 
 def test_spell_correct(ray_session):
