@@ -36,8 +36,8 @@ def test_entry_runs(entrymod):
 def test_every_query_has_callable(entrymod):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert len(qs) >= 25
-    assert set(oracles) <= set(qs)
-    assert len(oracles) >= 15
+    # every registered query carries an exact SQL oracle — lock that in
+    assert set(oracles) == set(qs)
 
 
 @pytest.mark.parametrize("name", ["tokenize_term_counts", "bm25_top10",
