@@ -21,7 +21,7 @@ DEFAULT = ["windowed_counts", "sessionize", "props_stats",
            "top_docs_per_source", "fingerprints", "curate_corpus",
            "snippets", "stratified_sample", "doc_len_quantiles",
            "spell_correct", "related_terms", "more_like_this",
-           "prefix_search", "windowed_unique_users", "chunk_dedup", "top_bigrams", "anchor_counts"]
+           "prefix_search", "windowed_unique_users", "chunk_dedup", "top_bigrams", "anchor_counts", "curated_search"]
 
 
 def main():
