@@ -66,6 +66,28 @@ class FullScanOracle:
                 if any(t in m for t in toks)]
         return np.sort(np.asarray(hits, dtype=np.int64))
 
+    def search_not(self, include, exclude) -> np.ndarray:
+        inc = set(self.search_and(include).tolist())
+        exc = set(self.search_or(exclude).tolist())
+        return np.asarray(sorted(inc - exc), dtype=np.int64)
+
+    def search_near(self, keywords, window: int = 3) -> np.ndarray:
+        """Naive proximity: every consecutive query-term pair co-occurs
+        within `window` positions (either order) of the analyzed stream."""
+        toks = self._q(keywords)
+        if not toks:
+            return np.empty(0, np.int64)
+        out = []
+        for i, stream in enumerate(self.tokens):
+            pos = {t: [p for p, s in enumerate(stream) if s == t]
+                   for t in set(toks)}
+            if not all(pos[t] for t in toks):
+                continue
+            if all(min(abs(x - y) for x in pos[a] for y in pos[b]) <= window
+                   for a, b in zip(toks, toks[1:])):
+                out.append(self.doc_ids[i])
+        return np.sort(np.asarray(out, dtype=np.int64))
+
     def search_phrase(self, phrase) -> np.ndarray:
         toks = self._q(phrase)
         if not toks:

@@ -365,6 +365,31 @@ class IndexReader:
         ok[ok] = b[idx[ok]] == a[ok]
         return a[ok]
 
+    def _positions_keys(self, t: str, cand: np.ndarray) -> np.ndarray | None:
+        """SORTED packed ``(doc_id << 22) + pos`` keys for one term,
+        adaptively sourced: selective candidate sets gather only the
+        candidates' position byte ranges (cost ~ |cand|); dense sets
+        (cand ≈ df) use the per-reader whole-stream key cache (decoded +
+        sorted once, then reused by every later query).  None signals a
+        doc_id/position outside the 41/22-bit packing (caller falls back
+        to the per-candidate slow path); empty array signals no positions
+        for the candidates."""
+        if cand.size * 2 >= self.doc_freq(t):
+            return self._phrase_keys(t)
+        parts = []
+        for sr in self.term_segments(t):
+            g = sr.positions_gather(t, cand, self.cfg.block_size)
+            if g is not None:
+                parts.append(g)
+        if not parts:
+            return np.empty(0, np.int64)
+        docs = np.concatenate([p[0] for p in parts])
+        pos = np.concatenate([p[1] for p in parts])
+        if (docs.size and int(docs.max()) >= 1 << (63 - self._POS_BITS)) \
+                or (pos.size and int(pos.max()) >= 1 << self._POS_BITS):
+            return None
+        return np.sort((docs << self._POS_BITS) + pos)
+
     def search_phrase(self, phrase: list[str]) -> np.ndarray:
         """Strict consecutive phrase over the post-filter token stream (M8),
         fully vectorized: every occurrence of term j becomes an int64 key
@@ -388,29 +413,11 @@ class IndexReader:
         pos_mask = (1 << self._POS_BITS) - 1
         anchors = None
         for j, t in enumerate(toks):
-            # selective candidates -> byte-range gather (cost ~ |cand|);
-            # dense candidates (cand ≈ df) -> the per-reader SORTED key
-            # cache (stream decoded+sorted once, then searchsorted joins)
-            if cand.size * 2 >= self.doc_freq(t):
-                keys = self._phrase_keys(t)
-                if keys is None:
-                    return self._search_phrase_slow(toks)
-            else:
-                parts = []
-                for sr in self.term_segments(t):
-                    g = sr.positions_gather(t, cand, self.cfg.block_size)
-                    if g is not None:
-                        parts.append(g)
-                if not parts:
-                    return np.empty(0, np.int64)
-                docs = np.concatenate([p[0] for p in parts])
-                pos = np.concatenate([p[1] for p in parts])
-                if (docs.size
-                        and int(docs.max()) >= 1 << (63 - self._POS_BITS)) \
-                        or (pos.size
-                            and int(pos.max()) >= 1 << self._POS_BITS):
-                    return self._search_phrase_slow(toks)
-                keys = np.sort((docs << self._POS_BITS) + pos)
+            keys = self._positions_keys(t, cand)
+            if keys is None:
+                return self._search_phrase_slow(toks)
+            if keys.size == 0:
+                return np.empty(0, np.int64)
             if j > 0:
                 # pos < j can never anchor a phrase; dropping it also stops
                 # (pos - j) underflowing into the previous doc_id's key space
@@ -457,6 +464,97 @@ class IndexReader:
             if anchors.size:
                 out.append(cand[i])
         return np.asarray(out, dtype=np.int64)
+
+    # -- boolean NOT / proximity ------------------------------------------
+    def search_not(self, include: list[str], exclude: list[str]) -> np.ndarray:
+        """Boolean AND-NOT: docs matching every `include` keyword and none
+        of the `exclude` keywords.  The reference's boolean API stops at
+        AND/OR (InvertedIndexManager.java searchAndQuery/searchOrQuery);
+        NOT closes the algebra over the same postings primitives — one
+        sorted set-difference, no extra index machinery."""
+        inc = self.search_and(include)
+        if inc.size == 0:
+            return inc
+        exc = self.search_or(exclude)
+        if exc.size == 0:
+            return inc
+        return np.setdiff1d(inc, exc, assume_unique=True)
+
+    def search_near(self, keywords: list[str] | str, window: int = 3
+                    ) -> np.ndarray:
+        """Proximity search: docs where each CONSECUTIVE pair of query
+        terms co-occurs within `window` positions of the post-filter token
+        stream, in either order (|pos_a − pos_b| ≤ window).  Vectorized
+        over the same packed ``(doc_id << 22) + pos`` keys as
+        ``search_phrase``: for every occurrence key `a` of the left term,
+        a windowed searchsorted range probe into the right term's sorted
+        keys — clamped to the occurrence's own doc_id so a window never
+        leaks across document boundaries."""
+        if not self.cfg.positional:
+            raise NotImplementedError(
+                "proximity search requires a positional index")
+        if window < 1:
+            raise ValueError("window must be >= 1")
+        toks = self.analyze_query(keywords)
+        if not toks:
+            return np.empty(0, np.int64)
+        if len(toks) == 1:
+            return self.postings(toks[0])[0]
+        ok = self.search_and(toks)
+        pos_mask = (1 << self._POS_BITS) - 1
+        for a, b in zip(toks, toks[1:]):
+            if ok.size == 0:
+                return ok
+            ka = self._positions_keys(a, ok)
+            kb = self._positions_keys(b, ok)
+            if ka is None or kb is None:
+                hit = self._search_near_slow_pair(a, b, ok, window)
+            elif ka.size == 0 or kb.size == 0:
+                return np.empty(0, np.int64)
+            else:
+                # keys may span more docs than `ok` (dense path decodes the
+                # whole stream); the doc-level intersect below fixes that up
+                doc_base = ka & ~np.int64(pos_mask)
+                lo = np.maximum(ka - window, doc_base)
+                hi = np.minimum(ka + window, doc_base + pos_mask)
+                has = (np.searchsorted(kb, hi, side="right")
+                       > np.searchsorted(kb, lo, side="left"))
+                hit = np.unique(ka[has] >> self._POS_BITS)
+            ok = self._sorted_intersect(ok, hit)
+        return ok
+
+    def _search_near_slow_pair(self, a: str, b: str, cand: np.ndarray,
+                               window: int) -> np.ndarray:
+        """Per-candidate fallback for pathological doc_id/position ranges
+        (doc_id ≥ 2^41 or position ≥ 2^22 — unreachable under the default
+        doc-range partitioning, kept for the same reason as
+        ``_search_phrase_slow``)."""
+        out = []
+        pos_a = self._positions_for(a, cand)
+        pos_b = self._positions_for(b, cand)
+        for i in range(cand.size):
+            pa, pb = pos_a[i], pos_b[i]
+            if not pa.size or not pb.size:
+                continue
+            idx = np.searchsorted(pb, pa)
+            near = ((idx < pb.size) & (pb[np.minimum(idx, pb.size - 1)]
+                                       - pa <= window)) \
+                | ((idx > 0) & (pa - pb[np.maximum(idx - 1, 0)] <= window))
+            if near.any():
+                out.append(cand[i])
+        return np.asarray(out, dtype=np.int64)
+
+    def _positions_for(self, t: str, cand: np.ndarray) -> list[np.ndarray]:
+        """Per-candidate sorted position arrays (ascending cand order)."""
+        lists: list[np.ndarray] = []
+        for sr in self.term_segments(t):
+            all_p = sr.postings(t, self.cfg.block_size)
+            if all_p is None:
+                continue
+            mask = np.isin(cand, all_p[0])
+            if mask.any():
+                lists.extend(sr.positions(t, cand[mask], self.cfg.block_size))
+        return lists
 
     # -- BM25 --------------------------------------------------------------
     def _bm25_idf(self, df: int) -> float:

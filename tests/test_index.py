@@ -75,6 +75,42 @@ def test_phrase(built):
     # that matches reference positional semantics (positions over output stream)
 
 
+def test_not_search(built):
+    reader, oracle, *_ = built
+    for inc, exc in [(["grape"], ["cherry"]),
+                     (["peterman"], ["apple"]),
+                     (["grape", "honeydew"], ["unique0", "unique2"]),
+                     (["nosuch"], ["grape"]),
+                     (["grape"], ["nosuch"])]:
+        assert reader.search_not(inc, exc).tolist() == \
+            oracle.search_not(inc, exc).tolist(), (inc, exc)
+
+
+def test_proximity_search(built):
+    reader, oracle, *_ = built
+    for q, w in [(["grape", "honeydew"], 1),   # even docs only (adjacent)
+                 (["grape", "honeydew"], 2),   # odd docs too (grape _ honeydew)
+                 (["grape", "honeydew"], 50),  # == AND set
+                 (["peterman", "unique0"], 3),
+                 (["apple", "nosuch"], 3)]:
+        got = reader.search_near(q, window=w).tolist()
+        assert got == oracle.search_near(q, window=w).tolist(), (q, w)
+    # widening the window is monotone: w1 ⊆ w2 ⊆ AND set; window=2 catches
+    # every odd doc's grape-cherry-honeydew (distance 2)
+    w1 = set(reader.search_near(["grape", "honeydew"], window=1).tolist())
+    w2 = set(reader.search_near(["grape", "honeydew"], window=2).tolist())
+    assert w1 and w1 <= w2
+    assert set(range(1, N_DOCS, 2)) <= w2
+    assert w2 <= set(reader.search_and(["grape", "honeydew"]).tolist())
+    # large window degenerates to the boolean AND set
+    assert reader.search_near(["grape", "honeydew"], window=10**6).tolist() \
+        == reader.search_and(["grape", "honeydew"]).tolist()
+    # slow path agrees with the vectorized path
+    assert reader._search_near_slow_pair(
+        "grape", "honeydew", reader.search_and(["grape", "honeydew"]),
+        1).tolist() == reader.search_near(["grape", "honeydew"], 1).tolist()
+
+
 def test_bm25_rank_identity(built):
     reader, oracle, *_ = built
     for q in [["grape"], ["grape", "honeydew"], ["apple", "banana", "cherry"],
