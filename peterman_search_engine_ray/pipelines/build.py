@@ -804,3 +804,136 @@ def compact_index(index_dir: str, cfg: IndexConfig | None = None) -> dict:
     mf.atomic_write_json(manifest_path, m)
     mf.atomic_write_json(tomb_path, [])
     return m
+
+
+def merge_indexes(index_a: str, index_b: str, out_dir: str,
+                  cfg: IndexConfig | None = None) -> dict:
+    """Merge two independently built indexes into a new one — the
+    distributed analog of the reference's segment merge
+    (InvertedIndexManager.java:845-953 merges segment pairs of one index;
+    here two whole indexes merge in one streaming pass).
+
+    Requires identical configs and disjoint doc_id sets.  Doc ranges held
+    by only ONE input are adopted by straight file copy — segments are
+    immutable, so nothing is decoded or re-encoded for them; ranges where
+    BOTH inputs hold documents are re-encoded from the two forward
+    partitions (partition-pruned reads, the same path ``extend_index``
+    uses).  The output is byte-identical to ``build_index`` over the union
+    corpus (tested), so merged indexes are indistinguishable from
+    single-build indexes to every reader.
+
+    Scale shape: one Ray task per doc range (copy or re-encode), driver
+    state O(segments) manifest rows — at web scale this is how per-shard
+    or per-crawl indexes built independently roll up into one serving
+    index without touching the raw corpus again.
+    """
+    import shutil as _shutil
+    cfg = cfg or IndexConfig()
+    ma = mf.read_json(os.path.join(index_a, "manifest.json"))
+    mb = mf.read_json(os.path.join(index_b, "manifest.json"))
+    if not ma or not mb:
+        raise FileNotFoundError("both inputs need an index manifest")
+    if ma["cfg"] != _cfg_key(cfg) or mb["cfg"] != _cfg_key(cfg):
+        raise ValueError("merge_indexes: configs do not match")
+    os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+    fwd_out = os.path.join(out_dir, "forward")
+    P = cfg.num_term_partitions
+    explode_fn = make_explode(P, cfg.doc_range_bits, cfg.positional)
+
+    def _ranges(d: str) -> set[int]:
+        fd = os.path.join(d, "forward")
+        return ({int(n.split("=", 1)[1]) for n in os.listdir(fd)
+                 if n.startswith("r=")} if os.path.isdir(fd) else set())
+
+    ra, rb = _ranges(index_a), _ranges(index_b)
+
+    def merge_range(batch: pa.Table) -> pa.Table:
+        rows = []
+        for dr in batch["dr"].to_pylist():
+            dr = int(dr)
+            srcs = [d for d, rs in ((index_a, ra), (index_b, rb))
+                    if dr in rs]
+            rdir_out = os.path.join(fwd_out, f"r={dr}")
+            os.makedirs(rdir_out, exist_ok=True)
+            for si, src in enumerate(srcs):
+                rdir = os.path.join(src, "forward", f"r={dr}")
+                for fname in sorted(os.listdir(rdir)):
+                    if fname.endswith(".parquet"):
+                        _shutil.copy2(os.path.join(rdir, fname),
+                                      os.path.join(rdir_out,
+                                                   f"m{si}-{fname}"))
+            if len(srcs) == 1:
+                # exclusive range: adopt the immutable segment files as-is
+                seg_src = os.path.join(srcs[0], "segments")
+                for tp in range(P):
+                    for suffix in (".bin", ".dir.parquet", ".meta.json"):
+                        p = os.path.join(seg_src, f"seg-{tp}-{dr}{suffix}")
+                        if os.path.exists(p):
+                            _shutil.copy2(p, os.path.join(
+                                out_dir, "segments", os.path.basename(p)))
+                continue
+            # shared range: rebuild its segments from old+old forward rows
+            frags = []
+            for src in srcs:
+                rdir = os.path.join(src, "forward", f"r={dr}")
+                frags += [pq.read_table(os.path.join(rdir, f))
+                          for f in sorted(os.listdir(rdir))
+                          if f.endswith(".parquet")]
+            tbl = pa.concat_tables(frags)
+            ids = tbl["doc_id"].to_numpy()
+            if np.unique(ids).size != ids.size:
+                raise ValueError(
+                    f"merge_indexes: doc_id overlap in doc range {dr}")
+            ex = explode_fn(tbl).combine_chunks()
+            if ex.num_rows:
+                rows.append(encode_parts_block(out_dir, cfg, ex))
+        if not rows:
+            return _manifest_row(part=-1, tp=-1, dr=-1, seg="", n_terms=0,
+                                 n_postings=0, resumed=False).slice(0, 0)
+        return pa.concat_tables(rows)
+
+    all_dr = sorted(ra | rb)
+    shared = ra & rb
+    if all_dr:
+        seg_stats = (ray.data.from_items([{"dr": dr} for dr in all_dr])
+                     .repartition(len(all_dr))
+                     .map_batches(merge_range, batch_format="pyarrow")
+                     .to_pandas())
+    else:
+        seg_stats = None
+
+    # manifest: adopted rows come from the source manifests, shared-range
+    # rows from the re-encode stats
+    segments = [r for src_m, excl in ((ma, ra - shared), (mb, rb - shared))
+                for r in src_m["segments"] if int(r["dr"]) in excl]
+    if seg_stats is not None and len(seg_stats):
+        segments += [r for r in seg_stats.drop(columns=["resumed"])
+                     .to_dict("records") if r["part"] >= 0]
+    segments.sort(key=lambda r: int(r["part"]))
+    n_docs, total_len = _fwd_doc_stats(fwd_out)
+    if n_docs != int(ma["n_docs"]) + int(mb["n_docs"]):
+        raise ValueError("merge_indexes: doc_id overlap across inputs")
+    tombs = sorted(set(mf.read_json(os.path.join(index_a,
+                                                 "tombstones.json")) or [])
+                   | set(mf.read_json(os.path.join(index_b,
+                                                   "tombstones.json")) or []))
+    manifest = {
+        "cfg": _cfg_key(cfg),
+        "bm25": {"k1": cfg.k1, "b": cfg.b},
+        "n_docs": n_docs,
+        "total_len": total_len,
+        "avgdl": (total_len / n_docs) if n_docs else 0.0,
+        "segments": segments,
+        "n_resumed_segments": 0,
+        "merged_from": [os.path.abspath(index_a), os.path.abspath(index_b)],
+    }
+    mf.atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
+    # a later build_index(out_dir, resume=True) must not mistake the merged
+    # forward store for its own checkpoint — fingerprint it as merged
+    mf.atomic_write_json(os.path.join(out_dir, "forward.manifest.json"),
+                         {"fingerprint": {"cfg": _cfg_key(cfg),
+                                          "input": ["merged",
+                                                    manifest["merged_from"]]}})
+    if tombs:
+        mf.atomic_write_json(os.path.join(out_dir, "tombstones.json"), tombs)
+    return manifest

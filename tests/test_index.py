@@ -322,6 +322,67 @@ def test_extend_equals_full_build(ray_session, tmp_path_factory):
             == ri.search_phrase(["grape", "honeydew"]).tolist())
 
 
+def test_merge_indexes_equals_full_build(ray_session, tmp_path_factory):
+    """merge(build(A), build(B)) must equal build(A ∪ B) byte-for-byte:
+    exclusive doc ranges are adopted by file copy, the range shared
+    between A and B is re-encoded from both forward partitions."""
+    import filecmp
+    from peterman_search_engine_ray.corpus import _wrap_batch, synth_rows
+    from peterman_search_engine_ray.pipelines.build import (build_index,
+                                                            merge_indexes)
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    import ray.data as rd
+
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=4,
+                      block_size=8, positional=True)
+    all_rows = synth_rows(60)
+    A = rd.from_arrow(_wrap_batch(all_rows.slice(0, 40)))   # ranges 0,1,2
+    B = rd.from_arrow(_wrap_batch(all_rows.slice(40, 20)))  # ranges 2,3
+    AB = rd.from_arrow(_wrap_batch(all_rows))
+
+    full_dir = str(tmp_path_factory.mktemp("idx_full"))
+    a_dir = str(tmp_path_factory.mktemp("idx_a"))
+    b_dir = str(tmp_path_factory.mktemp("idx_b"))
+    m_dir = str(tmp_path_factory.mktemp("idx_m"))
+    m_full = build_index(AB, full_dir, cfg)
+    build_index(A, a_dir, cfg, input_token="A")
+    build_index(B, b_dir, cfg, input_token="B")
+    m_merged = merge_indexes(a_dir, b_dir, m_dir, cfg)
+
+    assert m_merged["n_docs"] == m_full["n_docs"] == 60
+    assert abs(m_merged["avgdl"] - m_full["avgdl"]) < 1e-12
+    assert {(r["tp"], r["dr"]): r["n_postings"]
+            for r in m_full["segments"]} == \
+           {(r["tp"], r["dr"]): r["n_postings"]
+            for r in m_merged["segments"]}
+    full_segs = sorted(f for f in os.listdir(os.path.join(full_dir,
+                                                          "segments")))
+    merged_segs = sorted(f for f in os.listdir(os.path.join(m_dir,
+                                                            "segments")))
+    assert full_segs == merged_segs
+    for fn in full_segs:
+        if fn.endswith(".bin") or fn.endswith(".dir.parquet"):
+            assert filecmp.cmp(os.path.join(full_dir, "segments", fn),
+                               os.path.join(m_dir, "segments", fn),
+                               shallow=False), fn
+    rf, rm = IndexReader(full_dir), IndexReader(m_dir)
+    for q in (["peterman"], ["grape", "honeydew"], ["apple", "banana"]):
+        df_, sf_ = rf.bm25_topk_auto(q, 10)
+        dm_, sm_ = rm.bm25_topk_auto(q, 10)
+        assert df_.tolist() == dm_.tolist()
+        assert sf_.tolist() == sm_.tolist()
+    assert (rf.search_phrase(["grape", "honeydew"]).tolist()
+            == rm.search_phrase(["grape", "honeydew"]).tolist())
+    # forward store stays point-lookup-able (doc-range pruned)
+    got = rm.get_docs(np.array([5, 44]))
+    assert sorted(got["doc_id"]) == [5, 44]
+    # overlapping doc_ids must be rejected, not silently merged
+    # (the ValueError from the range task arrives wrapped in RayTaskError)
+    dup_dir = str(tmp_path_factory.mktemp("idx_dup"))
+    with pytest.raises(Exception, match="doc_id overlap"):
+        merge_indexes(a_dir, a_dir, dup_dir, cfg)
+
+
 def test_positions_gather_matches_bulk(built):
     """positions_gather(term, subset) must equal the subset-restriction of
     positions_bulk(term) for arbitrary candidate sets (incl. ids absent
