@@ -27,6 +27,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .analysis import STOP_WORDS, _TOKEN_RE
 
@@ -119,3 +120,26 @@ def text_stats_batch(batch: pa.Table) -> pa.Table:
         "lang_pred": pa.array(langs, pa.string()),
         "fingerprint": pa.array(fps),
     })
+
+
+# --- PII scrubbing ---------------------------------------------------------
+# RE2-compatible patterns (pyarrow's and DuckDB's regex engines are both
+# RE2), so a SQL oracle computes identical counts and redacted strings.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized PII scrub: count and redact email addresses and phone
+    numbers in one Arrow pass (``count_substring_regex`` +
+    ``replace_substring_regex`` — compiled RE2, no Python per-row loop).
+    Pure map-side: the 100 TB shape is embarrassingly parallel, no
+    exchange.  Returns (doc_id, n_emails, n_phones, clean)."""
+    t = batch[text_col]
+    n_em = pc.cast(pc.count_substring_regex(t, EMAIL_RE), pa.int64())
+    n_ph = pc.cast(pc.count_substring_regex(t, PHONE_RE), pa.int64())
+    clean = pc.replace_substring_regex(
+        pc.replace_substring_regex(t, EMAIL_RE, "<EMAIL>"),
+        PHONE_RE, "<PHONE>")
+    return pa.table({"doc_id": batch["doc_id"], "n_emails": n_em,
+                     "n_phones": n_ph, "clean": clean})
