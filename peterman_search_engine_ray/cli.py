@@ -110,15 +110,34 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Roll two independently built indexes up into one (left-fold over
+    --index-a/--index-b; chain invocations to merge more shards)."""
+    ray = _ray_init(args.num_cpus)
+    from .config import IndexConfig
+    from .pipelines.build import merge_indexes
+    cfg = IndexConfig(num_term_partitions=args.partitions,
+                      doc_range_bits=args.doc_range_bits,
+                      positional=not args.no_positions,
+                      analyzer=args.analyzer)
+    manifest = merge_indexes(args.index_a, args.index_b, args.out, cfg)
+    print(json.dumps({"n_docs": manifest["n_docs"],
+                      "n_segments": len(manifest["segments"])}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args) -> int:
     from .pipelines.query import IndexReader
     r = IndexReader(args.index)
     terms = args.terms
     mode = args.mode
-    if mode in ("and", "or", "phrase", "keyword"):
+    if mode in ("and", "or", "phrase", "keyword", "not", "near"):
         d = {"and": r.search_and, "or": r.search_or,
              "phrase": r.search_phrase,
-             "keyword": lambda t: r.search_keyword(t[0])}[mode](terms)
+             "keyword": lambda t: r.search_keyword(t[0]),
+             "not": lambda t: r.search_not(t, args.exclude or []),
+             "near": lambda t: r.search_near(t, window=args.window)}[mode](terms)
         print(json.dumps({"doc_ids": d.tolist()[:args.k] if args.k else d.tolist(),
                           "total": int(d.size)}))
         return 0
@@ -193,12 +212,29 @@ def main(argv=None) -> int:
     cp.add_argument("--num-cpus", type=int, default=None)
     cp.set_defaults(fn=cmd_compact)
 
+    mg = sub.add_parser("merge")
+    mg.add_argument("--index-a", required=True)
+    mg.add_argument("--index-b", required=True)
+    mg.add_argument("--out", required=True)
+    mg.add_argument("--analyzer", default="porter",
+                    choices=["porter", "nostem", "naive"])
+    mg.add_argument("--partitions", type=int, default=64)
+    mg.add_argument("--doc-range-bits", type=int, default=20)
+    mg.add_argument("--no-positions", action="store_true")
+    mg.add_argument("--num-cpus", type=int, default=None)
+    mg.set_defaults(fn=cmd_merge)
+
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
     q.add_argument("--mode", default="bm25_auto",
                    choices=["bm25", "bm25_pruned", "bm25_auto", "tfidf",
-                            "and", "or", "phrase", "keyword"])
+                            "and", "or", "phrase", "keyword", "not",
+                            "near"])
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--exclude", nargs="*", default=None,
+                   help="excluded keywords for --mode not")
+    q.add_argument("--window", type=int, default=3,
+                   help="position window for --mode near")
     q.add_argument("terms", nargs="+")
     q.set_defaults(fn=cmd_query)
 
