@@ -166,6 +166,7 @@ def main() -> None:
 
     and_p50 = _mode_p50(reader.search_and)
     phrase_p50 = _mode_p50(lambda w: reader.search_phrase(w[:2]), 25)
+    near_p50 = _mode_p50(lambda w: reader.search_near(w[:2], window=3), 25)
     tfidf_p50 = _mode_p50(lambda w: reader.tfidf_topk(w, 10))
 
     import ray.data as rd
@@ -191,6 +192,7 @@ def main() -> None:
             "query_pool_qps": round(n_res / t_qpool, 1),
             "and_p50_ms": and_p50,
             "phrase_p50_ms": phrase_p50,
+            "near_p50_ms": near_p50,
             "tfidf_p50_ms": tfidf_p50,
         },
         "sf": sf_dir, "num_cpus": ncpu,

@@ -512,6 +512,10 @@ class IndexReader:
             elif ka.size == 0 or kb.size == 0:
                 return np.empty(0, np.int64)
             else:
+                # the window predicate is symmetric (|pa − pb| ≤ w), so
+                # probe from the SMALLER occurrence stream into the larger
+                if ka.size > kb.size:
+                    ka, kb = kb, ka
                 # keys may span more docs than `ok` (dense path decodes the
                 # whole stream); the doc-level intersect below fixes that up
                 doc_base = ka & ~np.int64(pos_mask)
@@ -519,7 +523,9 @@ class IndexReader:
                 hi = np.minimum(ka + window, doc_base + pos_mask)
                 has = (np.searchsorted(kb, hi, side="right")
                        > np.searchsorted(kb, lo, side="left"))
-                hit = np.unique(ka[has] >> self._POS_BITS)
+                v = ka[has] >> self._POS_BITS       # nondecreasing: ka sorted
+                hit = v[np.concatenate(([True], v[1:] != v[:-1]))] \
+                    if v.size else v
             ok = self._sorted_intersect(ok, hit)
         return ok
 

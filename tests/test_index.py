@@ -376,6 +376,18 @@ def test_merge_indexes_equals_full_build(ray_session, tmp_path_factory):
     # forward store stays point-lookup-able (doc-range pruned)
     got = rm.get_docs(np.array([5, 44]))
     assert sorted(got["doc_id"]) == [5, 44]
+    # crash-safe by rerun: all artifact names are deterministic and the
+    # manifest is written last, so re-merging into the same out_dir (as a
+    # restart after a mid-merge failure would) reconverges byte-identically
+    m_again = merge_indexes(a_dir, b_dir, m_dir, cfg)
+    assert m_again["n_docs"] == 60
+    for fn in full_segs:
+        if fn.endswith(".bin"):
+            assert filecmp.cmp(os.path.join(full_dir, "segments", fn),
+                               os.path.join(m_dir, "segments", fn),
+                               shallow=False), fn
+    assert IndexReader(m_dir).search_and(["grape", "honeydew"]).tolist() \
+        == rf.search_and(["grape", "honeydew"]).tolist()
     # overlapping doc_ids must be rejected, not silently merged
     # (the ValueError from the range task arrives wrapped in RayTaskError)
     dup_dir = str(tmp_path_factory.mktemp("idx_dup"))
