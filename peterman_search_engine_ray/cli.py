@@ -132,12 +132,13 @@ def cmd_query(args) -> int:
     r = IndexReader(args.index)
     terms = args.terms
     mode = args.mode
-    if mode in ("and", "or", "phrase", "keyword", "not", "near"):
+    if mode in ("and", "or", "phrase", "keyword", "not", "near", "bool"):
         d = {"and": r.search_and, "or": r.search_or,
              "phrase": r.search_phrase,
              "keyword": lambda t: r.search_keyword(t[0]),
              "not": lambda t: r.search_not(t, args.exclude or []),
-             "near": lambda t: r.search_near(t, window=args.window)}[mode](terms)
+             "near": lambda t: r.search_near(t, window=args.window),
+             "bool": lambda t: r.search_boolean(" ".join(t))}[mode](terms)
         print(json.dumps({"doc_ids": d.tolist()[:args.k] if args.k else d.tolist(),
                           "total": int(d.size)}))
         return 0
@@ -229,7 +230,7 @@ def main(argv=None) -> int:
     q.add_argument("--mode", default="bm25_auto",
                    choices=["bm25", "bm25_pruned", "bm25_auto", "tfidf",
                             "and", "or", "phrase", "keyword", "not",
-                            "near"])
+                            "near", "bool"])
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--exclude", nargs="*", default=None,
                    help="excluded keywords for --mode not")

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 import os
+import re as _re
 from functools import reduce
 
 import numpy as np
@@ -562,6 +563,63 @@ class IndexReader:
                 lists.extend(sr.positions(t, cand[mask], self.cfg.block_size))
         return lists
 
+    # -- boolean query language -------------------------------------------
+    def search_boolean(self, query: str) -> np.ndarray:
+        """Mini boolean query language over the postings primitives:
+        ``AND`` / ``OR`` / ``NOT`` (uppercase keywords), parentheses, and
+        double-quoted phrases; bare words go through the index analyzer.
+        Negation follows Lucene semantics: NOT binds to its AND-sibling
+        set (result = intersect(positives) − union(negatives)); a
+        pure-negative (sub)query has no universe and raises.  Example::
+
+            reader.search_boolean('("big data" OR spark) AND NOT slow')
+
+        Every operator resolves to the same sorted-int64 set algebra the
+        individual search_* methods use — no corpus pass, no new index
+        machinery."""
+        toks = _BOOL_TOKEN_RE.findall(query)
+        if not toks:
+            return np.empty(0, np.int64)
+        node, i = _bool_parse_or(toks, 0)
+        if i != len(toks):
+            raise ValueError(f"trailing tokens in boolean query: {toks[i:]}")
+        return self._bool_eval(node)
+
+    def _bool_eval(self, node) -> np.ndarray:
+        kind = node[0]
+        if kind == "term":
+            return self.search_and([node[1]])
+        if kind == "phrase":
+            return self.search_phrase([node[1]])
+        if kind == "or":
+            arrs = [self._bool_eval(c) for c in node[1]]
+            arrs = [a for a in arrs if a.size]
+            if not arrs:
+                return np.empty(0, np.int64)
+            return np.unique(np.concatenate(arrs))
+        if kind == "and":
+            pos, neg = [], []
+            for c in node[1]:
+                inverted = False
+                while c[0] == "not":
+                    inverted = not inverted
+                    c = c[1]
+                (neg if inverted else pos).append(c)
+            if not pos:
+                raise ValueError(
+                    "pure-negative boolean (sub)query has no universe")
+            res = reduce(
+                lambda a, b: np.intersect1d(a, b, assume_unique=True),
+                sorted((self._bool_eval(p) for p in pos), key=len))
+            for c in neg:
+                if res.size == 0:
+                    return res
+                ex = self._bool_eval(c)
+                if ex.size:
+                    res = np.setdiff1d(res, ex, assume_unique=True)
+            return res
+        raise ValueError("NOT outside an AND context")  # ("not", _) leaked
+
     # -- BM25 --------------------------------------------------------------
     def _bm25_idf(self, df: int) -> float:
         n = self.n_docs
@@ -983,3 +1041,55 @@ class QueryExecutor:
             "doc_ids": pa.array(out_docs, pa.list_(pa.int64())),
             "scores": pa.array(out_scores, pa.list_(pa.float64())),
         })
+
+
+# ---------------------------------------------------------------------------
+# boolean query language: lexer + recursive-descent parser
+# (grammar: or := and (OR and)* ; and := unary (AND unary)* ;
+#  unary := NOT unary | primary ; primary := '(' or ')' | "phrase" | term.
+#  parse_and ALWAYS wraps in an ("and", children) node so NOT-stripping
+#  happens in exactly one place during evaluation.)
+# ---------------------------------------------------------------------------
+
+_BOOL_TOKEN_RE = _re.compile(r'\(|\)|"[^"]*"|[^\s()]+')
+
+
+def _bool_parse_or(toks, i):
+    node, i = _bool_parse_and(toks, i)
+    children = [node]
+    while i < len(toks) and toks[i] == "OR":
+        nxt, i = _bool_parse_and(toks, i + 1)
+        children.append(nxt)
+    return (children[0] if len(children) == 1 else ("or", children)), i
+
+
+def _bool_parse_and(toks, i):
+    node, i = _bool_parse_unary(toks, i)
+    children = [node]
+    while i < len(toks) and toks[i] == "AND":
+        nxt, i = _bool_parse_unary(toks, i + 1)
+        children.append(nxt)
+    return ("and", children), i
+
+
+def _bool_parse_unary(toks, i):
+    if i >= len(toks):
+        raise ValueError("unexpected end of boolean query")
+    if toks[i] == "NOT":
+        node, i = _bool_parse_unary(toks, i + 1)
+        return ("not", node), i
+    return _bool_parse_primary(toks, i)
+
+
+def _bool_parse_primary(toks, i):
+    t = toks[i]
+    if t == "(":
+        node, i = _bool_parse_or(toks, i + 1)
+        if i >= len(toks) or toks[i] != ")":
+            raise ValueError("expected ')' in boolean query")
+        return node, i + 1
+    if t in (")", "AND", "OR"):
+        raise ValueError(f"unexpected {t!r} in boolean query")
+    if t.startswith('"'):
+        return ("phrase", t.strip('"')), i + 1
+    return ("term", t), i + 1

@@ -111,6 +111,40 @@ def test_proximity_search(built):
         1).tolist() == reader.search_near(["grape", "honeydew"], 1).tolist()
 
 
+def test_boolean_query_language(built):
+    reader, oracle, *_ = built
+    import numpy as _np
+
+    def ids(a):
+        return a.tolist()
+
+    # parenthesized OR-of-AND with phrase and NOT, vs primitive composition
+    got = reader.search_boolean('("grape honeydew" OR apple) AND NOT unique0')
+    want = _np.setdiff1d(
+        _np.union1d(reader.search_phrase(["grape", "honeydew"]),
+                    reader.search_keyword("apple")),
+        reader.search_keyword("unique0"))
+    assert ids(got) == ids(want)
+    # plain AND / OR round-trip through the parser
+    assert ids(reader.search_boolean("grape AND honeydew")) == \
+        ids(reader.search_and(["grape", "honeydew"]))
+    assert ids(reader.search_boolean("apple OR banana")) == \
+        ids(reader.search_or(["apple", "banana"]))
+    # NOT NOT cancels; nested parens
+    assert ids(reader.search_boolean("grape AND NOT NOT honeydew")) == \
+        ids(reader.search_and(["grape", "honeydew"]))
+    assert ids(reader.search_boolean("((grape))")) == \
+        ids(reader.search_keyword("grape"))
+    # pure-negative queries have no universe (Lucene semantics)
+    for bad in ("NOT grape", "apple OR NOT grape"):
+        with pytest.raises(ValueError, match="universe"):
+            reader.search_boolean(bad)
+    # malformed queries raise
+    for bad in ("(grape", "grape AND", "AND grape", "grape)"):
+        with pytest.raises(ValueError):
+            reader.search_boolean(bad)
+
+
 def test_bm25_rank_identity(built):
     reader, oracle, *_ = built
     for q in [["grape"], ["grape", "honeydew"], ["apple", "banana", "cherry"],
