@@ -41,12 +41,20 @@ class ShardSearcher:
         """Shard-local df per term (the A4 partial aggregate)."""
         return {t: self.reader.doc_freq(t) for t in terms}
 
-    def boolean_local(self, mode: str, keywords: list[str]) -> list[int]:
-        """Doc-partitioned boolean/phrase: each shard's matches are final
-        (no cross-shard state) — the driver just concatenates."""
-        fn = {"and": self.reader.search_and, "or": self.reader.search_or,
-              "phrase": self.reader.search_phrase,
-              "keyword": lambda kw: self.reader.search_keyword(kw[0])}[mode]
+    def boolean_local(self, mode: str, keywords: list[str],
+                      **kw) -> list[int]:
+        """Doc-partitioned boolean/phrase/proximity: each shard's matches
+        are final — membership (including NOT-exclusion and parsed boolean
+        expressions) is decided per document, entirely within the shard
+        that owns it — so the driver just concatenates."""
+        r = self.reader
+        fn = {"and": r.search_and, "or": r.search_or,
+              "phrase": r.search_phrase,
+              "keyword": lambda ks: r.search_keyword(ks[0]),
+              "not": lambda ks: r.search_not(ks, kw.get("exclude", [])),
+              "near": lambda ks: r.search_near(ks,
+                                               window=kw.get("window", 3)),
+              "bool": lambda ks: r.search_boolean(ks[0])}[mode]
         return fn(keywords).tolist()
 
     def tfidf_local_topk(self, keywords: list[str], k: int,
@@ -169,9 +177,11 @@ class ShardedIndex:
             if outs else np.empty(0, np.float64)
         return m._topk(docs, scores, k)
 
-    def search(self, mode: str, keywords, k: int = 10):
-        """Boolean/phrase (set union of shard-final matches) or keyword."""
-        outs = ray.get([s.boolean_local.remote(mode, list(keywords))
+    def search(self, mode: str, keywords, k: int = 10, **kw):
+        """Boolean/phrase/proximity/parsed-boolean: set union of
+        shard-final matches (kwargs: exclude= for "not", window= for
+        "near"; "bool" takes [expression_string])."""
+        outs = ray.get([s.boolean_local.remote(mode, list(keywords), **kw)
                         for s in self.shards])
         return np.sort(np.concatenate(
             [np.asarray(o, np.int64) for o in outs])) \

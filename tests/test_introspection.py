@@ -108,6 +108,16 @@ def test_sharded_serving_rank_identity(ray_session, tmp_path):
                              ("or", single.search_or),
                              ("phrase", single.search_phrase)):
                 assert sharded.search(mode, q).tolist() ==                     sorted(fn(q).tolist()), (mode, q)
+        # NOT / proximity / parsed-boolean are shard-local-exact too
+        assert sharded.search("not", ["grape"],
+                              exclude=["cherry"]).tolist() == \
+            single.search_not(["grape"], ["cherry"]).tolist()
+        assert sharded.search("near", ["grape", "honeydew"],
+                              window=2).tolist() == \
+            single.search_near(["grape", "honeydew"], window=2).tolist()
+        expr = '("grape honeydew" OR apple) AND NOT unique0'
+        assert sharded.search("bool", [expr]).tolist() == \
+            single.search_boolean(expr).tolist()
     finally:
         sharded.shutdown()
 
