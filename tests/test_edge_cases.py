@@ -67,6 +67,33 @@ def test_high_tf_and_long_doc(ray_session, tmp_path):
     assert r.search_and(["ham"]).tolist() == [0, 1]
 
 
+def test_near_and_boolean_edge_cases(ray_session, tmp_path):
+    r = _build(ray_session, tmp_path, [
+        "grape one two three honeydew tail",  # distance 4
+        "grape honeydew adjacent",            # distance 1
+        "grape the honeydew",                 # stopword dropped: distance 1
+        "grape only",
+        "",                                   # empty doc
+    ])
+    assert r.search_near(["grape", "honeydew"], window=1).tolist() == [1, 2]
+    assert r.search_near(["grape", "honeydew"], window=4).tolist() == [0, 1, 2]
+    # single keyword degenerates to the postings list
+    assert r.search_near(["grape"], window=1).tolist() == [0, 1, 2, 3]
+    # a dropped stopword vanishes from the analyzed stream (same semantics
+    # as search_phrase): ["the","grape"] degenerates to the grape postings
+    assert r.search_near(["the", "grape"], window=9).tolist() == [0, 1, 2, 3]
+    assert r.search_near(["zzz", "grape"], window=9).size == 0
+    with pytest.raises(ValueError):
+        r.search_near(["grape", "honeydew"], window=0)
+    # NOT with empty include/exclude sets
+    assert r.search_not(["grape"], ["zzz"]).tolist() == [0, 1, 2, 3]
+    assert r.search_not(["zzz"], ["grape"]).size == 0
+    # boolean language over the same corpus
+    assert r.search_boolean("grape AND NOT honeydew").tolist() == [3]
+    assert r.search_boolean('"grape honeydew" OR adjacent').tolist() == [1, 2]
+    assert r.search_boolean("").size == 0
+
+
 def test_empty_corpus_build(ray_session, tmp_path):
     import ray.data as rd
     from peterman_search_engine_ray.corpus import _wrap_batch
