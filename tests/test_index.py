@@ -145,6 +145,69 @@ def test_boolean_query_language(built):
             reader.search_boolean(bad)
 
 
+def test_boolean_query_randomized(built):
+    """Random ASTs rendered to query strings must evaluate identically to
+    direct primitive-set evaluation of the same AST."""
+    reader, *_ = built
+    rng = np.random.RandomState(13)
+    terms = ["grape", "honeydew", "apple", "banana", "cherry",
+             "peterman", "unique3", "nosuchword"]
+
+    def gen(depth):
+        r = rng.rand()
+        if depth >= 3 or r < 0.35:
+            t = terms[rng.randint(len(terms))]
+            return ("term", t)
+        if r < 0.45:
+            return ("phrase", "grape honeydew")
+        kids = [gen(depth + 1) for _ in range(rng.randint(2, 4))]
+        if r < 0.75:
+            # AND, possibly with one negated child (keep one positive)
+            if rng.rand() < 0.5 and len(kids) > 1:
+                kids[-1] = ("not", kids[-1])
+            return ("and", kids)
+        return ("or", kids)
+
+    def render(n):
+        k = n[0]
+        if k == "term":
+            return n[1]
+        if k == "phrase":
+            return f'"{n[1]}"'
+        if k == "not":
+            return "NOT " + render(n[1])
+        op = " AND " if k == "and" else " OR "
+        return "(" + op.join(render(c) for c in n[1]) + ")"
+
+    def ev(n):
+        k = n[0]
+        if k == "term":
+            return reader.search_and([n[1]])
+        if k == "phrase":
+            return reader.search_phrase([n[1]])
+        if k == "or":
+            return np.unique(np.concatenate([ev(c) for c in n[1]])) \
+                if n[1] else np.empty(0, np.int64)
+        pos = [c for c in n[1] if c[0] != "not"]
+        neg = [c[1] for c in n[1] if c[0] == "not"]
+        from functools import reduce as _red
+        res = _red(lambda a, b: np.intersect1d(a, b, assume_unique=True),
+                   [ev(p) for p in pos])
+        for c in neg:
+            res = np.setdiff1d(res, ev(c), assume_unique=True)
+        return res
+
+    n_checked = 0
+    for _ in range(60):
+        ast = gen(0)
+        if ast[0] in ("term", "phrase"):
+            continue
+        got = reader.search_boolean(render(ast))
+        assert got.tolist() == ev(ast).tolist(), render(ast)
+        n_checked += 1
+    assert n_checked >= 30
+
+
 def test_bm25_rank_identity(built):
     reader, oracle, *_ = built
     for q in [["grape"], ["grape", "honeydew"], ["apple", "banana", "cherry"],
