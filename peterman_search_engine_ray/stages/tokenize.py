@@ -161,6 +161,11 @@ class ExtractTokenize:
         urls = (batch["url"] if "url" in batch.column_names
                 else pa.array([""] * n, pa.string()))
         if self.from_html and "html" in batch.column_names:
+            # NOTE: measured (round 3) — an RE2 whole-batch extraction
+            # (replace_substring_regex/extract_regex chain) is NOT faster
+            # than this per-row loop at ~500 B/page: the (?s)<body>.*?
+            # capture kernel alone costs more than all six Python regex
+            # passes, which exploit literal prefixes.  Keep the loop.
             texts = [extract_text(h) for h in batch["html"].to_pylist()]
         else:
             texts = batch["text"].to_pylist()

@@ -41,3 +41,4 @@ def test_golden_corpus():
     # and the invariant: extracted text == ground-truth text column
     for i in range(20):
         assert got[page_url(i)] == rows["text"][i].as_py()
+
