@@ -116,7 +116,7 @@ def main() -> None:
     # (round 2's driver artifact recorded 8.91 s in a loaded window where
     # the same commit measured 4.9-5.3 s — N=3 rides out one such window)
     t_build = None
-    for _ in range(int(os.environ.get("GRAFT_BUILD_REPS", "3"))):
+    for _ in range(int(os.environ.get("GRAFT_BUILD_REPS", "4"))):
         shutil.rmtree(idx, ignore_errors=True)
         t0 = time.perf_counter()
         manifest = build_index(corpus, idx, cfg, resume=False)
