@@ -21,7 +21,11 @@ DEFAULT = ["windowed_counts", "sessionize", "props_stats",
            "top_docs_per_source", "fingerprints", "curate_corpus",
            "snippets", "stratified_sample", "doc_len_quantiles",
            "spell_correct", "related_terms", "more_like_this",
-           "prefix_search", "windowed_unique_users", "chunk_dedup", "top_bigrams", "anchor_counts", "curated_search"]
+           "prefix_search", "windowed_unique_users", "chunk_dedup",
+           "top_bigrams", "anchor_counts", "curated_search",
+           "commonness", "contamination", "facet_search", "batch_bm25",
+           "merged_search", "delete_compact_search", "proximity_search",
+           "autocomplete", "pii_redact", "repetition_stats"]
 
 
 def main():
