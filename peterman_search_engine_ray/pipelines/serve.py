@@ -26,7 +26,9 @@ from .query import IndexReader
 class ShardSearcher:
     """Owns one doc range: scores only segments seg-{tp}-{dr} for its dr."""
 
-    def __init__(self, index_dir: str, dr: int):
+    def __init__(self, index_dir: str, dr: int,
+                 global_n: int | None = None,
+                 global_avgdl: float | None = None):
         self.reader = IndexReader(index_dir)
         self.dr = dr
         # restrict the reader's view to this shard's doc range
@@ -36,6 +38,13 @@ class ShardSearcher:
                 self.reader._by_tp[tp] = drs
             else:
                 del self.reader._by_tp[tp]
+        # federation: this index is one member of a multi-index fleet, so
+        # its own manifest stats are partial — inject the fleet-global
+        # (N, avgdl) so every local score is exactly the global score
+        if global_n is not None:
+            self.reader.n_docs = int(global_n)
+        if global_avgdl is not None:
+            self.reader.avgdl = float(global_avgdl)
 
     def term_df(self, terms: list[str]) -> dict[str, int]:
         """Shard-local df per term (the A4 partial aggregate)."""
@@ -212,3 +221,45 @@ class ShardedIndex:
         for s in self.shards:
             ray.kill(s)
         self.shards = []
+
+
+class FederatedIndex(ShardedIndex):
+    """Query several INDEPENDENTLY BUILT indexes as one logical index —
+    no merge, no shared files: one searcher actor per (index, doc range),
+    with fleet-global statistics injected so every shard-local score is
+    exactly the global score (N and avgdl from the manifest sums; per-term
+    global df from the usual shard partial combine).  Doc_id sets must be
+    disjoint across member indexes (same contract as ``merge_indexes``).
+
+    This is the serving story for rolling crawls: the moment a new
+    crawl's index finishes building it joins the fleet — queries see the
+    union corpus with rank-identical BM25/TF-IDF (tested against a single
+    full build) without waiting for a merge.
+    """
+
+    def __init__(self, index_dirs: list[str]):
+        from ..state import manifest as _mf
+        import os as _os
+        if not index_dirs:
+            raise ValueError("FederatedIndex needs at least one index")
+        self._meta = IndexReader(index_dirs[0])
+        n_docs, total_len = 0, 0
+        members = []
+        for d in index_dirs:
+            m = _mf.read_json(_os.path.join(d, "manifest.json"))
+            if not m:
+                raise FileNotFoundError(f"no manifest.json under {d}")
+            if m["cfg"] != self._meta.manifest["cfg"]:
+                raise ValueError(f"federation cfg mismatch: {d}")
+            n_docs += int(m["n_docs"])
+            total_len += int(m["total_len"])
+            members.append((d, sorted({int(s["dr"])
+                                       for s in m["segments"]})))
+        avgdl = (total_len / n_docs) if n_docs else 1.0
+        # the driver-side meta reader only analyzes queries and merges
+        # top-k, but keep its stats global for consistency
+        self._meta.n_docs = n_docs
+        self._meta.avgdl = avgdl
+        self.shards = [ShardSearcher.remote(d, dr, global_n=n_docs,
+                                            global_avgdl=avgdl)
+                       for d, drs in members for dr in drs]

@@ -122,6 +122,57 @@ def test_sharded_serving_rank_identity(ray_session, tmp_path):
         sharded.shutdown()
 
 
+def test_federated_serving_rank_identity(ray_session, tmp_path):
+    """Two INDEPENDENTLY built indexes served as one FederatedIndex must
+    be rank-identical (scores too) to a single build over the union —
+    global N/avgdl from manifest sums, global df from shard partials."""
+    import ray.data as rd
+    from peterman_search_engine_ray.corpus import _wrap_batch, synth_rows
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    from peterman_search_engine_ray.pipelines.serve import FederatedIndex
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=4,
+                      block_size=8, positional=True)
+    all_rows = synth_rows(60)
+    a_dir, b_dir = str(tmp_path / "fa"), str(tmp_path / "fb")
+    full_dir = str(tmp_path / "ffull")
+    build_index(rd.from_arrow(_wrap_batch(all_rows.slice(0, 32))), a_dir,
+                cfg, input_token="A")
+    build_index(rd.from_arrow(_wrap_batch(all_rows.slice(32, 28))), b_dir,
+                cfg, input_token="B")
+    build_index(rd.from_arrow(_wrap_batch(all_rows)), full_dir, cfg)
+    single = IndexReader(full_dir)
+    fed = FederatedIndex([a_dir, b_dir])
+    try:
+        assert fed._meta.n_docs == 60
+        assert abs(fed._meta.avgdl - single.avgdl) < 1e-12
+        for q in [["grape"], ["grape", "honeydew"], ["peterman", "unique7"],
+                  ["apple", "banana", "cherry"], ["nosuch"]]:
+            for k in (1, 5, 20):
+                d1, s1 = single.bm25_topk(q, k)
+                d2, s2 = fed.bm25_topk(q, k)
+                assert d1.tolist() == d2.tolist(), (q, k)
+                np.testing.assert_allclose(s1, s2, rtol=1e-12)
+                t1, v1 = single.tfidf_topk(q, k)
+                t2, v2 = fed.tfidf_topk(q, k)
+                assert t1.tolist() == t2.tolist(), (q, k)
+                np.testing.assert_allclose(v1, v2, rtol=1e-12)
+            assert fed.search("or", q).tolist() == \
+                sorted(single.search_or(q).tolist())
+        assert fed.search("bool", ['grape AND NOT cherry']).tolist() == \
+            single.search_boolean('grape AND NOT cherry').tolist()
+        # config mismatch across members is rejected
+        bad_dir = str(tmp_path / "fbad")
+        build_index(rd.from_arrow(_wrap_batch(all_rows.slice(0, 8))),
+                    bad_dir, IndexConfig(num_term_partitions=2,
+                                         doc_range_bits=4, block_size=8,
+                                         positional=True))
+        with pytest.raises(ValueError, match="cfg mismatch"):
+            FederatedIndex([a_dir, bad_dir])
+    finally:
+        fed.shutdown()
+
+
 def test_hot_term_skew_bounded_by_doc_ranges(ray_session, tmp_path):
     """The north rule's skew valve: a term present in EVERY doc ends up
     split across doc-range segments whose size is bounded by the range
