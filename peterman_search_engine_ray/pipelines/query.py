@@ -1000,9 +1000,10 @@ class QueryExecutor:
     """Actor-pool query stage: one IndexReader per actor, built in __init__.
 
     Input batch: (query_id:int64, query:string, k:int32, mode:string in
-    {keyword,and,or,phrase,bm25,bm25_pruned,tfidf}); multi-word queries are
-    whitespace-joined strings. Output: (query_id, doc_ids:list<int64>,
-    scores:list<double>).
+    {keyword,and,or,phrase,bool,near,bm25,bm25_pruned,bm25_auto,tfidf});
+    multi-word queries are whitespace-joined strings ("bool" queries are
+    full boolean-language expressions; for "near", k is the position
+    window). Output: (query_id, doc_ids:list<int64>, scores:list<double>).
     """
 
     def __init__(self, index_dir: str):
@@ -1026,6 +1027,10 @@ class QueryExecutor:
                 d, s = r.search_or(words), None
             elif mode == "phrase":
                 d, s = r.search_phrase(words), None
+            elif mode == "bool":
+                d, s = r.search_boolean(q), None
+            elif mode == "near":
+                d, s = r.search_near(words, window=max(int(k), 1)), None
             elif mode == "bm25":
                 d, s = r.bm25_topk(words, k)
             elif mode == "bm25_pruned":
