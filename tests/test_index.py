@@ -492,6 +492,54 @@ def test_merge_indexes_equals_full_build(ray_session, tmp_path_factory):
         merge_indexes(a_dir, a_dir, dup_dir, cfg)
 
 
+def test_index_algebra_compositions(ray_session, tmp_path_factory):
+    """The index lifecycle ops form a closed algebra: chained merges and
+    extend∘merge compositions all produce byte-identical segments to one
+    full build over the union corpus."""
+    import filecmp
+    from peterman_search_engine_ray.corpus import _wrap_batch, synth_rows
+    from peterman_search_engine_ray.pipelines.build import (
+        build_index, extend_index, merge_indexes)
+    import ray.data as rd
+
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=4,
+                      block_size=8, positional=True)
+    rows = synth_rows(60)
+    parts = [rd.from_arrow(_wrap_batch(rows.slice(o, n)))
+             for o, n in ((0, 25), (25, 20), (45, 15))]
+    full_dir = str(tmp_path_factory.mktemp("alg_full"))
+    m_full = build_index(rd.from_arrow(_wrap_batch(rows)), full_dir, cfg)
+
+    def fresh(tag):
+        return str(tmp_path_factory.mktemp(f"alg_{tag}"))
+
+    # path 1: merge(merge(A, B), C)
+    dirs = [fresh(f"p1_{i}") for i in range(3)]
+    for d, p, tok in zip(dirs, parts, "ABC"):
+        build_index(p, d, cfg, input_token=tok)
+    ab = fresh("p1_ab")
+    merge_indexes(dirs[0], dirs[1], ab, cfg)
+    abc1 = fresh("p1_abc")
+    m1 = merge_indexes(ab, dirs[2], abc1, cfg)
+    # path 2: merge(extend(A, B), C)
+    a2 = fresh("p2_a")
+    build_index(parts[0], a2, cfg, input_token="A2")
+    extend_index(parts[1], a2, cfg)
+    abc2 = fresh("p2_abc")
+    c2 = fresh("p2_c")
+    build_index(parts[2], c2, cfg, input_token="C2")
+    m2 = merge_indexes(a2, c2, abc2, cfg)
+
+    for m, d in ((m1, abc1), (m2, abc2)):
+        assert m["n_docs"] == m_full["n_docs"] == 60
+        assert abs(m["avgdl"] - m_full["avgdl"]) < 1e-12
+        for fn in sorted(os.listdir(os.path.join(full_dir, "segments"))):
+            if fn.endswith(".bin") or fn.endswith(".dir.parquet"):
+                assert filecmp.cmp(
+                    os.path.join(full_dir, "segments", fn),
+                    os.path.join(d, "segments", fn), shallow=False), (d, fn)
+
+
 def test_positions_gather_matches_bulk(built):
     """positions_gather(term, subset) must equal the subset-restriction of
     positions_bulk(term) for arbitrary candidate sets (incl. ids absent
