@@ -141,3 +141,10 @@ def test_randomized_rank_identity(ray_session, tmp_path, seed):
     for ph in (["w0", "w1"], ["w3", "w3"], ["w2", "w0", "w1"]):
         assert sorted(r.search_phrase(ph).tolist()) == \
             sorted(oracle.search_phrase(ph).tolist()), (ph, seed)
+    for pair in (["w0", "w1"], ["w4", "w7"], ["w2", "w2"]):
+        for w in (1, 2, 5, 30):
+            assert r.search_near(pair, window=w).tolist() == \
+                oracle.search_near(pair, window=w).tolist(), (pair, w, seed)
+    for inc, exc in ((["w0"], ["w1"]), (["w1", "w2"], ["w0", "w9"])):
+        assert r.search_not(inc, exc).tolist() == \
+            oracle.search_not(inc, exc).tolist(), (inc, exc, seed)
