@@ -485,6 +485,18 @@ def test_merge_indexes_equals_full_build(ray_session, tmp_path_factory):
                                shallow=False), fn
     assert IndexReader(m_dir).search_and(["grape", "honeydew"]).tolist() \
         == rf.search_and(["grape", "honeydew"]).tolist()
+    # tombstones survive the merge: delete a doc in each input, re-merge,
+    # and the merged reader must exclude both (union of tombstone sets)
+    ra, rb2 = IndexReader(a_dir), IndexReader(b_dir)
+    hit = rf.search_and(["grape", "honeydew"]).tolist()
+    da = next(d for d in hit if d < 40)
+    db = next(d for d in hit if d >= 40)
+    ra.delete_documents([da])
+    rb2.delete_documents([db])
+    t_dir = str(tmp_path_factory.mktemp("idx_tomb"))
+    merge_indexes(a_dir, b_dir, t_dir, cfg)
+    got = set(IndexReader(t_dir).search_and(["grape", "honeydew"]).tolist())
+    assert got == set(hit) - {da, db}
     # overlapping doc_ids must be rejected, not silently merged
     # (the ValueError from the range task arrives wrapped in RayTaskError)
     dup_dir = str(tmp_path_factory.mktemp("idx_dup"))
