@@ -71,19 +71,27 @@ class FullScanOracle:
         exc = set(self.search_or(exclude).tolist())
         return np.asarray(sorted(inc - exc), dtype=np.int64)
 
-    def search_near(self, keywords, window: int = 3) -> np.ndarray:
+    def search_near(self, keywords, window: int = 3,
+                    ordered: bool = False) -> np.ndarray:
         """Naive proximity: every consecutive query-term pair co-occurs
-        within `window` positions (either order) of the analyzed stream."""
+        within `window` positions of the analyzed stream (either order,
+        or strictly left-before-right when ordered)."""
         toks = self._q(keywords)
         if not toks:
             return np.empty(0, np.int64)
+
+        def pair_ok(pa, pb):
+            if ordered:
+                return any(1 <= y - x <= window for x in pa for y in pb)
+            return any(abs(x - y) <= window for x in pa for y in pb)
+
         out = []
         for i, stream in enumerate(self.tokens):
             pos = {t: [p for p, s in enumerate(stream) if s == t]
                    for t in set(toks)}
             if not all(pos[t] for t in toks):
                 continue
-            if all(min(abs(x - y) for x in pos[a] for y in pos[b]) <= window
+            if all(pair_ok(pos[a], pos[b])
                    for a, b in zip(toks, toks[1:])):
                 out.append(self.doc_ids[i])
         return np.sort(np.asarray(out, dtype=np.int64))

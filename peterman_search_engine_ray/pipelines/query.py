@@ -481,16 +481,19 @@ class IndexReader:
             return inc
         return np.setdiff1d(inc, exc, assume_unique=True)
 
-    def search_near(self, keywords: list[str] | str, window: int = 3
-                    ) -> np.ndarray:
+    def search_near(self, keywords: list[str] | str, window: int = 3,
+                    ordered: bool = False) -> np.ndarray:
         """Proximity search: docs where each CONSECUTIVE pair of query
         terms co-occurs within `window` positions of the post-filter token
-        stream, in either order (|pos_a − pos_b| ≤ window).  Vectorized
-        over the same packed ``(doc_id << 22) + pos`` keys as
-        ``search_phrase``: for every occurrence key `a` of the left term,
-        a windowed searchsorted range probe into the right term's sorted
-        keys — clamped to the occurrence's own doc_id so a window never
-        leaks across document boundaries."""
+        stream — in either order by default (|pos_a − pos_b| ≤ window), or
+        strictly left-before-right when ``ordered=True``
+        (1 ≤ pos_b − pos_a ≤ window; an ordered window of 1 is exactly the
+        two-term phrase).  Vectorized over the same packed
+        ``(doc_id << 22) + pos`` keys as ``search_phrase``: for every
+        occurrence key `a` of the left term, a windowed searchsorted range
+        probe into the right term's sorted keys — clamped to the
+        occurrence's own doc_id so a window never leaks across document
+        boundaries."""
         if not self.cfg.positional:
             raise NotImplementedError(
                 "proximity search requires a positional index")
@@ -509,10 +512,26 @@ class IndexReader:
             ka = self._positions_keys(a, ok)
             kb = self._positions_keys(b, ok)
             if ka is None or kb is None:
+                if ordered:
+                    raise NotImplementedError(
+                        "ordered proximity unsupported beyond the 41/22-bit"
+                        " doc_id/position packing")
                 hit = self._search_near_slow_pair(a, b, ok, window)
             elif ka.size == 0 or kb.size == 0:
                 return np.empty(0, np.int64)
             else:
+                doc_base_a = ka & ~np.int64(pos_mask)
+                if ordered:
+                    # strictly a-then-b: probe [a+1, a+w] only
+                    lo = ka + 1
+                    hi = np.minimum(ka + window, doc_base_a + pos_mask)
+                    has = (np.searchsorted(kb, hi, side="right")
+                           > np.searchsorted(kb, lo, side="left"))
+                    v = ka[has] >> self._POS_BITS
+                    hit = v[np.concatenate(([True], v[1:] != v[:-1]))] \
+                        if v.size else v
+                    ok = self._sorted_intersect(ok, hit)
+                    continue
                 # the window predicate is symmetric (|pa − pb| ≤ w), so
                 # probe from the SMALLER occurrence stream into the larger
                 if ka.size > kb.size:

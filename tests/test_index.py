@@ -95,6 +95,15 @@ def test_proximity_search(built):
                  (["apple", "nosuch"], 3)]:
         got = reader.search_near(q, window=w).tolist()
         assert got == oracle.search_near(q, window=w).tolist(), (q, w)
+    # ordered ("A before B within w") vs the oracle; window=1 ordered is
+    # exactly the two-term phrase
+    for q, w in [(["grape", "honeydew"], 1), (["grape", "honeydew"], 2),
+                 (["honeydew", "grape"], 2), (["peterman", "unique0"], 9)]:
+        assert reader.search_near(q, window=w, ordered=True).tolist() == \
+            oracle.search_near(q, window=w, ordered=True).tolist(), (q, w)
+    assert reader.search_near(["grape", "honeydew"], 1,
+                              ordered=True).tolist() == \
+        reader.search_phrase(["grape", "honeydew"]).tolist()
     # widening the window is monotone: w1 ⊆ w2 ⊆ AND set; window=2 catches
     # every odd doc's grape-cherry-honeydew (distance 2)
     w1 = set(reader.search_near(["grape", "honeydew"], window=1).tolist())
