@@ -81,7 +81,8 @@ _SECTIONS = ("postings", "tf", "dl", "block_last", "block_end",
              "block_max_tf", "block_min_dl", "pos", "pos_offsets")
 
 
-LAYOUT_VERSION = 3  # bump on any on-disk format change to invalidate resumes
+LAYOUT_VERSION = 4  # bump on any on-disk format change to invalidate resumes
+# v4: forward store carries the input_hint's per-doc metadata (warc_ts, lang)
 
 
 def _cfg_key(cfg: IndexConfig) -> dict:

@@ -71,6 +71,16 @@ class FullScanOracle:
         exc = set(self.search_or(exclude).tolist())
         return np.asarray(sorted(inc - exc), dtype=np.int64)
 
+    def search_zone(self, keyword, zone_len: int = 5) -> np.ndarray:
+        """Naive zone search: every analyzed query token occurs within the
+        first ``zone_len`` positions of the analyzed stream."""
+        toks = set(self._q(keyword))
+        if not toks:
+            return np.empty(0, np.int64)
+        hits = [self.doc_ids[i] for i, stream in enumerate(self.tokens)
+                if toks <= set(stream[:zone_len])]
+        return np.sort(np.asarray(hits, dtype=np.int64))
+
     def search_near(self, keywords, window: int = 3,
                     ordered: bool = False) -> np.ndarray:
         """Naive proximity: every consecutive query-term pair co-occurs

@@ -570,6 +570,43 @@ class IndexReader:
                 out.append(cand[i])
         return np.asarray(out, dtype=np.int64)
 
+    def search_zone(self, keyword: str, zone_len: int = 5) -> np.ndarray:
+        """Zone-restricted search: docs where the keyword occurs within the
+        first ``zone_len`` positions of the post-filter token stream — a
+        Lucene-style title/lead zone answered from the positional postings
+        alone, no second per-field index.  Multi-token analyzed queries
+        require EVERY token inside the zone.  Uses the same packed
+        ``(doc_id << 22) + pos`` keys as phrase/proximity: a position
+        filter plus one dedupe per term."""
+        if not self.cfg.positional:
+            raise NotImplementedError("zone search requires a positional index")
+        if zone_len < 1:
+            raise ValueError("zone_len must be >= 1")
+        toks = self.analyze_query(keyword)
+        if not toks:
+            return np.empty(0, np.int64)
+        ok: np.ndarray | None = None
+        pos_mask = (1 << self._POS_BITS) - 1
+        for t in sorted(set(toks)):
+            cand = self.postings(t)[0]
+            if ok is not None:
+                cand = self._sorted_intersect(ok, cand)
+            if cand.size == 0:
+                return np.empty(0, np.int64)
+            keys = self._positions_keys(t, cand)
+            if keys is None:        # beyond the 41/22-bit packing: per-doc
+                pos = self._positions_for(t, cand)
+                hit = np.asarray([cand[i] for i in range(cand.size)
+                                  if pos[i].size and pos[i][0] < zone_len],
+                                 dtype=np.int64)
+            else:
+                v = keys[(keys & np.int64(pos_mask)) < zone_len] \
+                    >> self._POS_BITS
+                hit = v[np.concatenate(([True], v[1:] != v[:-1]))] \
+                    if v.size else v
+            ok = self._sorted_intersect(cand, hit)
+        return ok if ok is not None else np.empty(0, np.int64)
+
     def _positions_for(self, t: str, cand: np.ndarray) -> list[np.ndarray]:
         """Per-candidate sorted position arrays (ascending cand order)."""
         lists: list[np.ndarray] = []
@@ -761,9 +798,26 @@ class IndexReader:
                          minlength=uniq.size)
         return uniq, s1, s2
 
-    def bm25_topk(self, keywords, k: int | None = 10
+    def bm25_topk(self, keywords, k: int | None = 10,
+                  restrict: np.ndarray | None = None
                   ) -> tuple[np.ndarray, np.ndarray]:
-        """Exact term-at-a-time BM25 (the un-pruned baseline scorer)."""
+        """Exact term-at-a-time BM25 (the un-pruned baseline scorer).
+
+        ``restrict``: optional SORTED int64 doc-id set (e.g. the output of
+        :meth:`search_boolean`) — ranking is evaluated only over docs in
+        the set, i.e. a filtered ranked query.  Scores of surviving docs
+        are identical to the unfiltered run (BM25 stats stay corpus-
+        global, matching Lucene's filter-query semantics)."""
+        uniq, scores = self._bm25_scores(keywords)
+        if restrict is not None:
+            keep = self._sorted_intersect(uniq, np.asarray(restrict,
+                                                           np.int64))
+            idx = np.searchsorted(uniq, keep)
+            uniq, scores = keep, scores[idx]
+        return self._topk(uniq, scores, k)
+
+    def _bm25_scores(self, keywords) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted matched doc_ids, BM25 scores) — full match set, unranked."""
         terms = self._query_weights(keywords)
         if not terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -773,7 +827,22 @@ class IndexReader:
             c = self._term_contrib(t, df)
             all_docs.append(doc_ids)
             all_scores.append(c if qtf == 1.0 else qtf * c)
-        uniq, scores = self._accumulate(all_docs, all_scores)
+        return self._accumulate(all_docs, all_scores)
+
+    def bm25_search_after(self, keywords, k: int = 10,
+                          after: tuple[float, int] | None = None
+                          ) -> tuple[np.ndarray, np.ndarray]:
+        """Stateless deep pagination (search_after semantics): the next
+        ``k`` docs strictly after the cursor ``(score, doc_id)`` in the
+        total order (score desc, doc_id asc).  No server-side page state
+        and no deepening top-(page·k) heap: the cursor is a predicate
+        applied before the same O(n) top-k select, so page p costs the
+        same as page 1."""
+        uniq, scores = self._bm25_scores(keywords)
+        if after is not None:
+            s, d = float(after[0]), int(after[1])
+            keep = (scores < s) | ((scores == s) & (uniq > d))
+            uniq, scores = uniq[keep], scores[keep]
         return self._topk(uniq, scores, k)
 
     def bm25_topk_auto(self, keywords, k: int = 10

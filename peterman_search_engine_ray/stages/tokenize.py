@@ -188,6 +188,7 @@ class ExtractTokenize:
                 inner = pa.ListArray.from_arrays(
                     pa.array(pos_inner_off), pa.array(flat_pos))
                 cols["positions"] = pa.ListArray.from_arrays(off, inner)
+            _carry_doc_meta(batch, cols)
             return pa.table(cols)
 
         analyze = self.analyzer
@@ -239,7 +240,19 @@ class ExtractTokenize:
                 pa.array(np.asarray(pos_inner_off, dtype=np.int32)),
                 pa.array(np.asarray(flat_pos, dtype=np.int32)))
             cols["positions"] = pa.ListArray.from_arrays(off, inner)
+        _carry_doc_meta(batch, cols)
         return pa.table(cols)
+
+
+def _carry_doc_meta(batch: pa.Table, cols: dict) -> None:
+    """Carry per-doc metadata (the input_hint's ``warc_ts``/``lang``) into
+    the forward index when the corpus provides it — the doc store doubles
+    as the metadata store (reference MapdbDocStore stores doc attributes),
+    so crawl-time / language filters resolve via the point-get partitions
+    instead of a corpus rescan."""
+    for c in ("warc_ts", "lang"):
+        if c in batch.column_names:
+            cols[c] = batch[c]
 
 
 def make_extract_tokenize(analyzer: str = "porter", positional: bool = True,

@@ -120,6 +120,67 @@ def test_proximity_search(built):
         1).tolist() == reader.search_near(["grape", "honeydew"], 1).tolist()
 
 
+def test_zone_search(built):
+    reader, oracle, *_ = built
+    # 'peterman' is the first post-filter token of every doc ('The' drops)
+    assert reader.search_zone("peterman", 1).tolist() == list(range(N_DOCS))
+    for kw, z in [("peterman", 1), ("unique0", 2), ("grape", 4),
+                  ("apple", 6), ("honeydew", 12), ("nosuch", 3),
+                  ("the", 5)]:  # stopword-only query → empty
+        assert reader.search_zone(kw, z).tolist() == \
+            oracle.search_zone(kw, z).tolist(), (kw, z)
+    # widening the zone is monotone up to the full keyword set
+    z2 = set(reader.search_zone("grape", 2).tolist())
+    z8 = set(reader.search_zone("grape", 8).tolist())
+    assert z2 <= z8 <= set(reader.search_keyword("grape").tolist())
+    assert reader.search_zone("grape", 10**6).tolist() == \
+        reader.search_keyword("grape").tolist()
+    with pytest.raises(ValueError):
+        reader.search_zone("grape", 0)
+
+
+def test_bm25_search_after_and_restrict(built):
+    reader, oracle, *_ = built
+    q = ["grape", "apple"]
+    full_docs, full_scores = reader.bm25_topk(q, k=None)
+    # chained search_after pages reproduce the full ranking in 4-doc pages
+    got_docs, got_scores, cursor = [], [], None
+    while True:
+        d, s = reader.bm25_search_after(q, k=4, after=cursor)
+        if d.size == 0:
+            break
+        got_docs.extend(d.tolist())
+        got_scores.extend(s.tolist())
+        cursor = (float(s[-1]), int(d[-1]))
+    assert got_docs == full_docs.tolist()
+    assert got_scores == full_scores.tolist()
+    # restrict: ranking over a boolean filter set == filtering the full
+    # ranking (scores unchanged — corpus-global stats)
+    filt = reader.search_not(["grape"], ["unique0", "unique2"])
+    rd, rs = reader.bm25_topk(q, k=5, restrict=filt)
+    fset = set(filt.tolist())
+    want = [(d, s) for d, s in zip(full_docs.tolist(), full_scores.tolist())
+            if d in fset][:5]
+    assert list(zip(rd.tolist(), rs.tolist())) == want
+    # empty restrict → empty result
+    import numpy as _np
+    d0, s0 = reader.bm25_topk(q, k=5, restrict=_np.empty(0, _np.int64))
+    assert d0.size == 0 and s0.size == 0
+
+
+def test_forward_store_carries_doc_metadata(built):
+    reader, *_ = built
+    from peterman_search_engine_ray.corpus import WARC_EPOCH_US
+    import numpy as _np
+    ids = _np.array([0, 3, N_DOCS - 1], dtype=_np.int64)
+    rows = reader.get_docs(ids, columns=["doc_id", "url", "warc_ts", "lang"])
+    assert rows["doc_id"].tolist() == ids.tolist()
+    ts = rows["warc_ts"].to_numpy().astype(
+        "datetime64[us]").astype(_np.int64)
+    assert ts.tolist() == [WARC_EPOCH_US + int(i) * 1_000_000 for i in ids]
+    assert rows["lang"].tolist() == ["en"] * len(ids)
+
+
 def test_boolean_query_language(built):
     reader, oracle, *_ = built
     import numpy as _np
