@@ -68,6 +68,68 @@ def pagerank_numpy(edges: pd.DataFrame, num_iterations: int = 100,
                            ascending=[False, True]).reset_index(drop=True)
 
 
+def collapse_edges(edges_ds: "ray.data.Dataset", mod: int,
+                   num_parts: int = 8) -> pd.DataFrame:
+    """Distributed host-collapse of a page-level link graph: nodes map to
+    ``node % mod`` (the corpus' url scheme puts page ``doc_id`` on host
+    ``doc_id % 50``), collapsed self-loops drop, and parallel edges fold
+    into an integer ``weight``.  Map-side partial (src, dst, count)
+    aggregation bounds the exchange to O(hosts²) rows per block — the
+    page-scale edge list never shuffles.  The returned weighted edge list
+    is result-scale (≤ hosts²)."""
+    from ..stages.shuffle import hash_partition
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy() % mod
+        d = batch["dst"].to_numpy() % mod
+        keep = s != d
+        s, d = s[keep], d[keep]
+        key = s * mod + d
+        vals, cnts = np.unique(key, return_counts=True)
+        return pa.table({"src": pa.array(vals // mod, pa.int64()),
+                         "dst": pa.array(vals % mod, pa.int64()),
+                         "weight": pa.array(cnts.astype(np.int64))})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = (batch.to_pandas()
+              .groupby(["src", "dst"], as_index=False)["weight"].sum())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (hash_partition(
+               edges_ds.map_batches(partial, batch_format="pyarrow"),
+               ["src", "dst"], num_parts)
+           .map_batches(combine, batch_format="pyarrow")
+           .to_pandas())
+    for c in ("src", "dst", "weight"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def pagerank_weighted(edges: pd.DataFrame, num_iterations: int = 100,
+                      damping: float = 0.85) -> pd.DataFrame:
+    """:func:`pagerank_numpy` over a WEIGHTED edge list (the collapsed
+    multigraph): out-degree is the weight sum and each contribution is
+    weight-scaled — mathematically identical to expanding every weighted
+    edge back into parallel edges (reference duplicate-edge counting)."""
+    nodes = np.unique(np.concatenate([edges["src"].to_numpy(),
+                                      edges["dst"].to_numpy()]))
+    src = np.searchsorted(nodes, edges["src"].to_numpy())
+    dst = np.searchsorted(nodes, edges["dst"].to_numpy())
+    w = edges["weight"].to_numpy().astype(np.float64)
+    outdeg = np.bincount(src, weights=w, minlength=nodes.size)
+    safe = np.where(outdeg > 0, outdeg, 1.0)
+    prev = np.ones(nodes.size)
+    for _ in range(num_iterations):
+        contrib = w * (prev[src] / safe[src])
+        prev = (1 - damping) + damping * np.bincount(
+            dst, weights=contrib, minlength=nodes.size)
+    out = pd.DataFrame({"node": nodes, "score": prev})
+    return out.sort_values(["score", "node"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
 def pagerank_ray(edges_ds: "ray.data.Dataset", num_iterations: int = 100,
                  damping: float = 0.85) -> pd.DataFrame:
     """Distributed iteration: per iteration ONE numpy weight vector is

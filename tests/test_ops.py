@@ -168,6 +168,34 @@ def test_pagerank(ray_session):
     assert set(solo["node"]) == {1, 2}
 
 
+def test_host_collapse_and_weighted_pagerank(ray_session):
+    import ray.data as rd
+    from peterman_search_engine_ray.pipelines.pagerank import (
+        collapse_edges, pagerank_numpy, pagerank_weighted, synth_edges)
+    mod = 7
+    edges_tbl = synth_edges(np.arange(60))
+    edges = edges_tbl.to_pandas()
+    # distributed collapse == the naive driver-side collapse
+    got = collapse_edges(rd.from_arrow(edges_tbl).repartition(5), mod)
+    naive = edges.assign(src=edges["src"] % mod, dst=edges["dst"] % mod)
+    naive = naive[naive["src"] != naive["dst"]]
+    want = (naive.groupby(["src", "dst"], as_index=False).size()
+            .rename(columns={"size": "weight"})
+            .sort_values(["src", "dst"]).reset_index(drop=True)
+            .astype(np.int64))
+    pd.testing.assert_frame_equal(got, want)
+    # weighted PR over the collapsed graph == plain PR over the expanded
+    # multigraph (identical up to float summation order; compare rounded)
+    expanded = want.loc[want.index.repeat(want["weight"])][["src", "dst"]]
+    a = pagerank_weighted(want, num_iterations=25)
+    b = pagerank_numpy(expanded.reset_index(drop=True), num_iterations=25)
+    a["score"] = a["score"].round(9)
+    b["score"] = b["score"].round(9)
+    pd.testing.assert_frame_equal(
+        a.sort_values("node").reset_index(drop=True),
+        b.sort_values("node").reset_index(drop=True))
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
     ds = rd.from_arrow(mm.synth_media_table(10))
