@@ -25,7 +25,11 @@ DEFAULT = ["windowed_counts", "sessionize", "props_stats",
            "top_bigrams", "anchor_counts", "curated_search",
            "commonness", "contamination", "facet_search", "batch_bm25",
            "merged_search", "delete_compact_search", "proximity_search",
-           "autocomplete", "pii_redact", "repetition_stats"]
+           "autocomplete", "pii_redact", "repetition_stats",
+           "infix_search", "regex_search", "zone_search",
+           "time_range_search", "bm25_page2", "filtered_bm25",
+           "lang_routed_search", "url_latest", "upsert_search",
+           "host_pagerank", "hybrid_search", "fuzzy_search", "pmi_pairs"]
 
 
 def main():
