@@ -30,7 +30,8 @@ DEFAULT = ["windowed_counts", "sessionize", "props_stats",
            "time_range_search", "bm25_page2", "filtered_bm25",
            "lang_routed_search", "url_latest", "upsert_search",
            "host_pagerank", "hybrid_search", "fuzzy_search", "pmi_pairs",
-           "keywords_per_doc", "crawl_delta", "source_dup_stats"]
+           "keywords_per_doc", "crawl_delta", "source_dup_stats",
+           "sequence_pack", "lang_confusion"]
 
 
 def main():
