@@ -34,10 +34,17 @@ class IndexConfig:
     # block-max WAND literature (Ding & Suel, SIGIR 2011).
     block_size: int = 128
     positional: bool = True  # store per-(term,doc) position lists
-    # posting/position codec: "varbyte" (delta+varbyte, reference
-    # DeltaVarLenCompressor) or "naive" (raw 4-byte BE, NaiveCompressor) —
-    # the reference's pluggable Compressor interface (Compressor.java:6-27)
+    # posting codec: "varbyte" (delta+varbyte, reference
+    # DeltaVarLenCompressor), "naive" (raw 4-byte BE, NaiveCompressor), or
+    # "bitpack" (delta + frame-of-reference bitpacking; 2-4x smaller than
+    # varbyte on dense posting blocks) — the reference's pluggable
+    # Compressor interface (Compressor.java:6-27)
     codec: str = "varbyte"
+    # position-stream codec, independently chosen: per-posting position
+    # lists average a few values, where bitpack's per-group header loses to
+    # varbyte's 1-byte floor — so "bitpack" postings pair with "varbyte"
+    # positions by default
+    pos_codec: str = "varbyte"
 
     # --- analysis -----------------------------------------------------
     analyzer: str = "porter"  # "porter" (tokenize+stem) | "nostem" | "naive"

@@ -146,11 +146,232 @@ def decode_naive(buf: np.ndarray | bytes, start: int = 0,
     return np.ascontiguousarray(b[start:start + length]).view(">u4").astype(np.int64)
 
 
+# --- delta + frame-of-reference bitpacking ---------------------------------
+# Third codec (beyond the reference's two): per-group fixed-width packing of
+# the SAME delta stream the varbyte codec produces.  Each list packs into
+# groups of <= _BP_GROUP deltas; a group is [width:1B][count-1:1B]
+# [first-delta:5B LE][payload: ceil((count-1)*width/8)B, little-endian bit
+# order] and never spans a list boundary, so byte offsets at list boundaries
+# are exact — the only offsets the segment writer consumes (skip-block ends,
+# term starts, per-posting position lists).  The group-leading delta is the
+# list-absolute base, kept out of the packed width.  Dense posting blocks
+# (delta ~ a few bits) pack 2-4x smaller than varbyte's 1-byte floor; at
+# 100 TB the postings bytes are the index's IO bill, so width matters more
+# than encode CPU.
+
+_BP_GROUP = 128
+
+
+def _bitlen(x: np.ndarray) -> np.ndarray:
+    """Per-value bit length (0 for 0), vectorized."""
+    out = np.zeros(x.size, np.int64)
+    nz = x > 0
+    out[nz] = np.floor(np.log2(x[nz].astype(np.float64))).astype(np.int64) + 1
+    # float log2 can round down at exact powers-of-two boundaries: repair
+    bad = (x >> out) > 0
+    while bad.any():
+        out[bad] += 1
+        bad = (x >> out) > 0
+    return out
+
+
+def encode_bitpack(values: np.ndarray,
+                   list_offsets: np.ndarray | None = None
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Same interface/contract as :func:`encode_deltas`; value byte offsets
+    are exact at every list boundary (groups never span lists) and
+    monotone elsewhere (a mid-group value reports its group's end)."""
+    d = _deltas(values, list_offsets)
+    n = d.size
+    if n == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    if list_offsets is None:
+        list_offsets = np.array([0, n], dtype=np.int64)
+    lo = np.asarray(list_offsets, dtype=np.int64)
+    # group assignment: per list, runs of <= _BP_GROUP values
+    list_of = np.searchsorted(lo, np.arange(n), side="right") - 1
+    local = np.arange(n, dtype=np.int64) - lo[list_of]
+    new_group = np.concatenate(
+        ([True], (local[1:] % _BP_GROUP == 0) | (list_of[1:] != list_of[:-1])))
+    gstart = np.flatnonzero(new_group)
+    gcount = np.diff(np.append(gstart, n))
+    gid = np.repeat(np.arange(gstart.size), gcount)
+    # the group-leading delta is a LIST-ABSOLUTE value (or a block base) —
+    # packing it would blow the whole group's width, so it goes into the
+    # header as a 5-byte literal and only the followers are bit-packed
+    follower = np.ones(n, bool)
+    follower[gstart] = False
+    wsrc = _bitlen(d)
+    wsrc[gstart] = 0
+    width = np.maximum.reduceat(wsrc, gstart)
+    pay_bytes = ((gcount - 1) * width + 7) // 8
+    hdr = 2 + 5                                   # width, count-1, first-delta
+    gend = np.cumsum(hdr + pay_bytes)
+    gbeg = gend - (hdr + pay_bytes)
+    buf = np.zeros(int(gend[-1]), np.uint8)
+    buf[gbeg] = width.astype(np.uint8)
+    buf[gbeg + 1] = (gcount - 1).astype(np.uint8)
+    first = d[gstart]
+    for byte in range(5):
+        buf[gbeg + 2 + byte] = ((first >> (8 * byte)) & 0xFF).astype(np.uint8)
+    # scatter bits: follower j's bit k -> payload_start*8 + (rank-1)*width + k
+    bitbase = (gbeg[gid] + hdr) * 8 \
+        + (np.arange(n) - gstart[gid] - 1) * width[gid]
+    bits = np.zeros(int(gend[-1]) * 8, np.uint8)
+    for k in range(int(width.max(initial=0))):
+        sel = follower & (width[gid] > k)
+        if not sel.any():
+            break
+        bits[bitbase[sel] + k] = (d[sel] >> k) & 1
+    packed = np.packbits(bits, bitorder="little")
+    pay_mask = np.ones(buf.size, bool)
+    for byte in range(hdr):
+        pay_mask[gbeg + byte] = False
+    buf[pay_mask] = packed[pay_mask]
+    # per-value byte offsets: end of the containing group for the group's
+    # last value; mid-group values inherit their group's end (monotone;
+    # exact at list boundaries because groups never span lists)
+    vbo = np.concatenate(([0], gend[gid]))
+    return buf, vbo
+
+
+def decode_bitpack(buf: np.ndarray | bytes, start: int = 0,
+                   length: int | None = None,
+                   restarts: np.ndarray | None = None) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) \
+        else buf
+    if length is None:
+        length = b.size - start
+    b = np.ascontiguousarray(b[start:start + length])
+    if b.size == 0:
+        return np.empty(0, np.int64)
+    # sequential header walk (group count is values/128 — tiny)
+    pos, widths, counts, pstarts, firsts = 0, [], [], [], []
+    while pos < b.size:
+        w = int(b[pos])
+        c = int(b[pos + 1]) + 1
+        widths.append(w)
+        counts.append(c)
+        firsts.append(int.from_bytes(b[pos + 2:pos + 7].tobytes(), "little"))
+        pstarts.append(pos + 7)
+        pos += 7 + ((c - 1) * w + 7) // 8
+    width = np.asarray(widths, np.int64)
+    gcount = np.asarray(counts, np.int64)
+    pstart = np.asarray(pstarts, np.int64)
+    n = int(gcount.sum())
+    gstart = np.concatenate(([0], np.cumsum(gcount)[:-1]))
+    gid = np.repeat(np.arange(width.size), gcount)
+    bits = np.unpackbits(b, bitorder="little")
+    follower = np.ones(n, bool)
+    follower[gstart] = False
+    bitbase = pstart[gid] * 8 + (np.arange(n) - gstart[gid] - 1) * width[gid]
+    d = np.zeros(n, np.int64)
+    d[gstart] = np.asarray(firsts, np.int64)
+    for k in range(int(width.max(initial=0))):
+        sel = follower & (width[gid] > k)
+        if not sel.any():
+            break
+        d[sel] |= bits[bitbase[sel] + k].astype(np.int64) << k
+    c = np.cumsum(d)
+    if restarts is not None and len(restarts) > 1:
+        r = np.asarray(restarts, dtype=np.int64)
+        r = r[r < c.size]
+        base = np.zeros(r.size, np.int64)
+        base[1:] = c[r[1:] - 1]
+        seg_len = np.diff(np.append(r, c.size))
+        c = c - np.repeat(base, seg_len)
+    return c
+
+
+# --- raw frame-of-reference packing (no delta) ------------------------------
+# For NON-monotone small-int streams (term frequencies): groups of <=
+# _BP_GROUP values packed at the group's max bit width, layout
+# [width:1B][count-1:1B][payload ceil(count*width/8)B LE-bit-order]; groups
+# never span a list boundary so per-list byte offsets are exact.  tf is
+# 1-3 for most postings -> ~2 bits/value instead of the raw section's 32.
+
+def encode_rawpack(values: np.ndarray,
+                   list_offsets: np.ndarray | None = None
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    v = np.asarray(values, dtype=np.int64)
+    n = v.size
+    if n == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    if v.min() < 0 or v.max() >= (1 << 40):
+        raise ValueError("rawpack encodes non-negative values < 2^40")
+    if list_offsets is None:
+        list_offsets = np.array([0, n], dtype=np.int64)
+    lo = np.asarray(list_offsets, dtype=np.int64)
+    list_of = np.searchsorted(lo, np.arange(n), side="right") - 1
+    local = np.arange(n, dtype=np.int64) - lo[list_of]
+    new_group = np.concatenate(
+        ([True], (local[1:] % _BP_GROUP == 0) | (list_of[1:] != list_of[:-1])))
+    gstart = np.flatnonzero(new_group)
+    gcount = np.diff(np.append(gstart, n))
+    gid = np.repeat(np.arange(gstart.size), gcount)
+    width = np.maximum.reduceat(_bitlen(v), gstart)
+    pay_bytes = (gcount * width + 7) // 8
+    gend = np.cumsum(2 + pay_bytes)
+    gbeg = gend - (2 + pay_bytes)
+    buf = np.zeros(int(gend[-1]), np.uint8)
+    buf[gbeg] = width.astype(np.uint8)
+    buf[gbeg + 1] = (gcount - 1).astype(np.uint8)
+    bitbase = (gbeg[gid] + 2) * 8 + (np.arange(n) - gstart[gid]) * width[gid]
+    bits = np.zeros(int(gend[-1]) * 8, np.uint8)
+    for k in range(int(width.max(initial=0))):
+        sel = width[gid] > k
+        if not sel.any():
+            break
+        bits[bitbase[sel] + k] = (v[sel] >> k) & 1
+    packed = np.packbits(bits, bitorder="little")
+    pay_mask = np.ones(buf.size, bool)
+    pay_mask[gbeg] = False
+    pay_mask[gbeg + 1] = False
+    buf[pay_mask] = packed[pay_mask]
+    vbo = np.concatenate(([0], gend[gid]))
+    return buf, vbo
+
+
+def decode_rawpack(buf: np.ndarray | bytes, start: int = 0,
+                   length: int | None = None) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) \
+        else buf
+    if length is None:
+        length = b.size - start
+    b = np.ascontiguousarray(b[start:start + length])
+    if b.size == 0:
+        return np.empty(0, np.int64)
+    pos, widths, counts, pstarts = 0, [], [], []
+    while pos < b.size:
+        w = int(b[pos])
+        c = int(b[pos + 1]) + 1
+        widths.append(w)
+        counts.append(c)
+        pstarts.append(pos + 2)
+        pos += 2 + (c * w + 7) // 8
+    width = np.asarray(widths, np.int64)
+    gcount = np.asarray(counts, np.int64)
+    pstart = np.asarray(pstarts, np.int64)
+    n = int(gcount.sum())
+    gstart = np.concatenate(([0], np.cumsum(gcount)[:-1]))
+    gid = np.repeat(np.arange(width.size), gcount)
+    bits = np.unpackbits(b, bitorder="little")
+    bitbase = pstart[gid] * 8 + (np.arange(n) - gstart[gid]) * width[gid]
+    v = np.zeros(n, np.int64)
+    for k in range(int(width.max(initial=0))):
+        sel = width[gid] > k
+        if not sel.any():
+            break
+        v[sel] |= bits[bitbase[sel] + k].astype(np.int64) << k
+    return v
+
+
 # --- codec registry (reference Compressor interface, Compressor.java:6-27) --
 
 CODECS = {
     "varbyte": (encode_deltas, decode_deltas),
     "naive": (encode_naive, decode_naive),
+    "bitpack": (encode_bitpack, decode_bitpack),
 }
 
 

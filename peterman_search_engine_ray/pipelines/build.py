@@ -77,19 +77,27 @@ def _make_tokenize_sidewrite(analyzer: str, positional: bool, out_dir: str,
     return fn
 
 # Section names in each segment's .bin blob, in layout order.
-_SECTIONS = ("postings", "tf", "dl", "block_last", "block_end",
+_SECTIONS = ("postings", "tf", "dl_by_doc", "block_last", "block_end",
              "block_max_tf", "block_min_dl", "pos", "pos_offsets")
 
 
-LAYOUT_VERSION = 4  # bump on any on-disk format change to invalidate resumes
+LAYOUT_VERSION = 5  # bump on any on-disk format change to invalidate resumes
 # v4: forward store carries the input_hint's per-doc metadata (warc_ts, lang)
+# v5: dl normalized to a per-segment doc table (doc_lo-indexed) instead of
+#     4 repeated bytes per posting — doc lengths are per-DOC facts and the
+#     doc ids are dense, so the table is range-span-sized; postings()
+#     gathers dl by doc offset (O(1) random access preserved).  tf is
+#     frame-of-reference bit-packed per term (codec.encode_rawpack —
+#     ~2 bits/posting instead of 32; directory carries tf byte ranges);
+#     the reader's per-term postings cache amortizes the unpack.
 
 
 def _cfg_key(cfg: IndexConfig) -> dict:
     d = asdict(cfg)
     # only the fields that change on-disk layout / semantics
     out = {k: d[k] for k in ("num_term_partitions", "doc_range_bits",
-                             "block_size", "positional", "analyzer", "codec")}
+                             "block_size", "positional", "analyzer", "codec",
+                             "pos_codec")}
     out["layout"] = LAYOUT_VERSION
     return out
 
@@ -187,7 +195,8 @@ def encode_segment(index_dir: str, cfg: IndexConfig,
             pos_col = pos_col.combine_chunks()
         pos_values = pos_col.values.to_numpy()
         pos_list_off = np.asarray(pos_col.offsets)
-        pos_buf, pos_vbo = enc(pos_values, pos_list_off)
+        penc, _ = codec.get_codec(cfg.pos_codec)
+        pos_buf, pos_vbo = penc(pos_values, pos_list_off)
         pos_abs = codec.list_byte_offsets(pos_vbo, pos_list_off)  # n+1 abs
         term_pos_start = pos_abs[starts]
         term_pos_end = pos_abs[np.append(starts[1:], n)]
@@ -207,10 +216,23 @@ def encode_segment(index_dir: str, cfg: IndexConfig,
     t_min_dl = np.minimum.reduceat(dl, starts).astype(np.int32) if n else np.empty(0, np.int32)
 
     # --- blob assembly --------------------------------------------------
+    # dl is a per-DOC fact repeated across every term's postings; store it
+    # once per doc in a dense range-span table (doc ids are dense by
+    # construction) — 4 bytes per doc instead of 4 per posting.
+    if n:
+        doc_lo = int(doc_ids.min())
+        dl_by_doc = np.zeros(int(doc_ids.max()) - doc_lo + 1, np.uint32)
+        dl_by_doc[doc_ids - doc_lo] = dl
+    else:
+        doc_lo = 0
+        dl_by_doc = np.empty(0, np.uint32)
+    tf_buf, tf_vbo = codec.encode_rawpack(tf, np.append(starts, n))
+    term_tf_start = tf_vbo[starts]
+    term_tf_end = tf_vbo[np.append(starts[1:], n)]
     sections = {
         "postings": post_buf,
-        "tf": tf,
-        "dl": dl,
+        "tf": tf_buf,
+        "dl_by_doc": dl_by_doc,
         "block_last": block_last.astype(np.int64),
         "block_end": block_end_byte.astype(np.int64),
         "block_max_tf": block_max_tf,
@@ -243,6 +265,8 @@ def encode_segment(index_dir: str, cfg: IndexConfig,
         "min_dl": pa.array(t_min_dl, pa.int32()),
         "pos_start": pa.array(term_pos_start.astype(np.int64)),
         "pos_end": pa.array(term_pos_end.astype(np.int64)),
+        "tf_start": pa.array(term_tf_start.astype(np.int64)),
+        "tf_end": pa.array(term_tf_end.astype(np.int64)),
     })
     tmp = seg_dir + ".tmp"
     pq.write_table(directory, tmp)
@@ -252,7 +276,7 @@ def encode_segment(index_dir: str, cfg: IndexConfig,
                       [f"{seg}.bin", f"{seg}.dir.parquet"],
                       extra={"n_terms": int(n_terms), "n_postings": int(n),
                              "sections": offsets, "part": part,
-                             "tp": tp, "dr": dr})
+                             "tp": tp, "dr": dr, "doc_lo": doc_lo})
     return stats_row(n_terms=int(n_terms), n_postings=n, resumed=False)
 
 

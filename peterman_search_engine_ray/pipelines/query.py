@@ -46,8 +46,10 @@ class SegmentReader:
     """One immutable (term_partition, doc_range) segment: mmap'd blob +
     term directory."""
 
-    def __init__(self, seg_base: str, decode=codec.decode_deltas):
+    def __init__(self, seg_base: str, decode=codec.decode_deltas,
+                 pos_decode=None):
         self._decode = decode
+        self._pos_decode = pos_decode if pos_decode is not None else decode
         self.meta = mf.read_json(seg_base + ".meta.json")
         if self.meta is None:
             raise FileNotFoundError(seg_base + ".meta.json")
@@ -82,9 +84,14 @@ class SegmentReader:
             self._sec("postings", np.uint8),
             int(e["post_start"]), int(e["post_end"] - e["post_start"]),
             restarts=restarts)
-        s0, s1 = int(e["slot_start"]), int(e["slot_end"])
-        tf = self._sec("tf", np.uint32)[s0:s1]
-        dl = self._sec("dl", np.uint32)[s0:s1]
+        # tf is frame-of-reference bit-packed per term (layout v5)
+        tf = codec.decode_rawpack(
+            self._sec("tf", np.uint8),
+            int(e["tf_start"]), int(e["tf_end"] - e["tf_start"]))
+        # dl is stored once per DOC (dense range-span table, layout v5):
+        # gather by doc offset — O(1) random access, 4 B/doc not 4 B/posting
+        dl = self._sec("dl_by_doc", np.uint32)[
+            doc_ids - int(self.meta.get("doc_lo", 0))]
         return doc_ids, tf, dl
 
     def block_meta(self, term: str) -> dict | None:
@@ -114,8 +121,8 @@ class SegmentReader:
         all_docs, tf, _ = self.postings(term, block_size)
         p_start, p_end = int(e["pos_start"]), int(e["pos_end"])
         restarts = np.concatenate(([0], np.cumsum(tf.astype(np.int64))[:-1]))
-        values = self._decode(self._sec("pos", np.uint8),
-                              p_start, p_end - p_start, restarts=restarts)
+        values = self._pos_decode(self._sec("pos", np.uint8),
+                                  p_start, p_end - p_start, restarts=restarts)
         return np.repeat(all_docs, tf), values
 
     def positions_gather(self, term: str, doc_ids: np.ndarray,
@@ -159,7 +166,7 @@ class SegmentReader:
             np.repeat(los - out_starts, lens)
         buf = self._sec("pos", np.uint8)[take]
         restarts = np.concatenate(([0], np.cumsum(tf_v)[:-1]))
-        values = self._decode(buf, 0, total, restarts=restarts)
+        values = self._pos_decode(buf, 0, total, restarts=restarts)
         return np.repeat(docs_v, tf_v), values
 
     def positions(self, term: str, doc_ids: np.ndarray,
@@ -179,7 +186,7 @@ class SegmentReader:
         for s in slots:
             lo = p_start + int(rel[s])
             hi = p_start + int(rel[s + 1]) if s + 1 < s1 else p_end
-            out.append(self._decode(pos, lo, hi - lo))
+            out.append(self._pos_decode(pos, lo, hi - lo))
         return out
 
 
@@ -199,8 +206,10 @@ class IndexReader:
             positional=c["positional"],
             analyzer=c["analyzer"],
             codec=c.get("codec", "varbyte"),
+            pos_codec=c.get("pos_codec", c.get("codec", "varbyte")),
             k1=self.manifest["bm25"]["k1"], b=self.manifest["bm25"]["b"])
         self._decode = codec.get_codec(self.cfg.codec)[1]
+        self._pos_decode = codec.get_codec(self.cfg.pos_codec)[1]
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"] or 1.0
         self.analyzer = get_analyzer(self.cfg.analyzer)
@@ -230,7 +239,7 @@ class IndexReader:
         sr = self._segments.get(key)
         if sr is None:
             base = os.path.join(self.index_dir, "segments", f"seg-{tp}-{dr}")
-            sr = SegmentReader(base, self._decode)
+            sr = SegmentReader(base, self._decode, self._pos_decode)
             self._segments[key] = sr
         return sr
 

@@ -63,6 +63,38 @@ def test_roundtrip_property(xs):
     assert codec.decode(codec.encode(xs)) == xs
 
 
+@given(st.lists(st.lists(st.integers(0, 2**34 - 1), min_size=0,
+                         max_size=300), min_size=1, max_size=6))
+def test_bitpack_roundtrip_property(lists):
+    lists = [np.sort(np.asarray(xs, np.int64)) for xs in lists]
+    vals = (np.concatenate(lists) if any(len(x) for x in lists)
+            else np.empty(0, np.int64))
+    offs = np.concatenate(
+        ([0], np.cumsum([len(x) for x in lists]))).astype(np.int64)
+    buf, vbo = codec.encode_bitpack(vals, offs)
+    # whole-stream decode with restarts at list starts (unique, like the
+    # reader's cumsum-of-positive-counts restarts — the shared contract)
+    out = codec.decode_bitpack(buf, 0, len(buf),
+                               restarts=np.unique(offs[:-1]))
+    assert np.array_equal(out, vals)
+    # byte offsets are exact at list boundaries: each list's byte range
+    # decodes independently
+    lbo = codec.list_byte_offsets(vbo, offs)
+    for i, want in enumerate(lists):
+        got = codec.decode_bitpack(buf, int(lbo[i]),
+                                   int(lbo[i + 1] - lbo[i]))
+        assert np.array_equal(got, want), i
+    assert np.all(np.diff(vbo) >= 0)  # offsets monotone everywhere
+
+
+def test_bitpack_beats_varbyte_on_dense_postings():
+    docs = np.arange(0, 300_000, 3, dtype=np.int64)   # small deltas
+    offs = np.append(np.arange(0, docs.size, 128), docs.size)
+    bv, _ = codec.encode_deltas(docs, offs)
+    bb, _ = codec.encode_bitpack(docs, offs)
+    assert len(bb) * 2 < len(bv)        # >2x smaller where it matters
+
+
 def test_naive_codec_reference_parity():
     # NaiveCompressor.java:11-30 — raw 4-byte big-endian ints
     from peterman_search_engine_ray.functions.codec import (decode_naive,

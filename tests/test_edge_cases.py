@@ -148,3 +148,25 @@ def test_randomized_rank_identity(ray_session, tmp_path, seed):
     for inc, exc in ((["w0"], ["w1"]), (["w1", "w2"], ["w0", "w9"])):
         assert r.search_not(inc, exc).tolist() == \
             oracle.search_not(inc, exc).tolist(), (inc, exc, seed)
+    # zone search vs the naive oracle
+    for kw, z in (("w0", 1), ("w1", 3), ("w5", 7), ("nosuch", 2)):
+        assert r.search_zone(kw, z).tolist() == \
+            oracle.search_zone(kw, z).tolist(), (kw, z, seed)
+    # chained search_after pages reproduce the full ranking
+    q = ["w1", "w2"]
+    full_d, full_s = r.bm25_topk(q, k=None)
+    got, cursor = [], None
+    while True:
+        d, s = r.bm25_search_after(q, k=7, after=cursor)
+        if d.size == 0:
+            break
+        got.extend(d.tolist())
+        cursor = (float(s[-1]), int(d[-1]))
+    assert got == full_d.tolist(), seed
+    # restrict == filtering the full ranking (scores unchanged)
+    filt = r.search_not(["w0"], ["w9"])
+    rd_, rs_ = r.bm25_topk(q, k=6, restrict=filt)
+    fset = set(filt.tolist())
+    want = [(d, s) for d, s in zip(full_d.tolist(), full_s.tolist())
+            if d in fset][:6]
+    assert list(zip(rd_.tolist(), rs_.tolist())) == want, seed

@@ -367,6 +367,31 @@ def test_naive_codec_index_identical(ray_session, tmp_path):
         oracle.search_phrase(["grape", "honeydew"]).tolist()
 
 
+def test_bitpack_codec_index_identical(ray_session, tmp_path):
+    """cfg.codec='bitpack' (delta + frame-of-reference bitpacking — the
+    third codec, beyond the reference's two) produces rank-identical
+    results to the varbyte layout, including positional queries."""
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    idx = str(tmp_path / "bitpack_idx")
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=4, block_size=8,
+                      positional=True, codec="bitpack")
+    build_index(synth_webpages(N_DOCS), idx, cfg)
+    r = IndexReader(idx)
+    oracle = FullScanOracle(synth_rows(N_DOCS).to_pandas())
+    assert r.search_and(["grape", "honeydew"]).tolist() == \
+        oracle.search_and(["grape", "honeydew"]).tolist()
+    d, s = r.bm25_topk(["apple", "banana"], 10)
+    d_o, s_o = oracle.bm25_topk(["apple", "banana"], 10)
+    assert d.tolist() == d_o.tolist()
+    np.testing.assert_allclose(s, s_o, rtol=1e-12)
+    assert r.search_phrase(["grape", "honeydew"]).tolist() == \
+        oracle.search_phrase(["grape", "honeydew"]).tolist()
+    assert r.search_near(["grape", "honeydew"], window=2).tolist() == \
+        oracle.search_near(["grape", "honeydew"], window=2).tolist()
+    assert r.search_zone("peterman", 1).tolist() == list(range(N_DOCS))
+
+
 def test_shuffle_modes_identical_and_multinode_safe(built, ray_session,
                                                     tmp_path_factory):
     """Both exchange modes must (a) produce rank-identical query results and
