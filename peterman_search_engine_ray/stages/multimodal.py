@@ -53,6 +53,34 @@ def make_fake_video(seed: int, frames: int = 6, h: int = 4, w: int = 4) -> bytes
     return b"FAKV" + struct.pack(">H", frames) + recs
 
 
+def make_pnm_image(seed: int, h: int = 8, w: int = 8, c: int = 3) -> bytes:
+    """Same pixel sequence as :func:`make_fake_image`, encoded as a REAL
+    netpbm binary image (P6 for RGB, P5 for grayscale) — decodable by any
+    image tool, no library needed."""
+    k = np.arange(h * w * c, dtype=np.int64)
+    payload = ((seed * _IMG_MULT + k * _IMG_STEP) % 256).astype(np.uint8)
+    magic = b"P6" if c == 3 else b"P5"
+    if c not in (1, 3):
+        raise ValueError("netpbm encodes 1 (P5) or 3 (P6) channels")
+    return magic + b"\n" + f"{w} {h}\n255\n".encode() + payload.tobytes()
+
+
+def make_y4m_video(seed: int, frames: int = 6, h: int = 4, w: int = 4) -> bytes:
+    """Same per-frame pixel sequences as :func:`make_fake_video`, encoded as
+    a REAL YUV4MPEG2 (.y4m) stream, C444 colorspace — the uncompressed video
+    container ffmpeg/mjpegtools read and write."""
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()
+    out = [head]
+    for f in range(frames):
+        k = np.arange(h * w * 3, dtype=np.int64)
+        payload = (((seed * 1000 + f) * _IMG_MULT + k * _IMG_STEP) % 256
+                   ).astype(np.uint8)
+        # C444: three full-resolution planes (Y, Cb, Cr)
+        planes = payload.reshape(h, w, 3).transpose(2, 0, 1)
+        out.append(b"FRAME\n" + planes.tobytes())
+    return b"".join(out)
+
+
 def synth_media_table(n: int, seed: int = 5) -> pa.Table:
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -67,13 +95,39 @@ def synth_media_table(n: int, seed: int = 5) -> pa.Table:
 
 # --- decode kernels ---------------------------------------------------------
 
+def _decode_pnm(b: bytes) -> np.ndarray:
+    """Real netpbm decode (P5 grayscale / P6 RGB, maxval <= 255) with no
+    library: whitespace/comment-tolerant header scan + one frombuffer."""
+    c = 3 if b[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while b[pos] in b" \t\r\n":
+            pos += 1
+        if b[pos] == ord("#"):                       # comment to end-of-line
+            pos = b.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while b[end] not in b" \t\r\n":
+            end += 1
+        fields.append(int(b[pos:end]))
+        pos = end
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("only 8-bit netpbm payloads decode")
+    return np.frombuffer(b, np.uint8, count=h * w * c,
+                         offset=pos + 1).reshape(h, w, c)
+
+
 def _decode_fake_image(b: bytes) -> np.ndarray:
-    """FAKI → (h, w, c) uint8; real formats (PNG/JPEG/…) decode through
-    PIL when it is installed (import-try — this container ships none)."""
+    """FAKI → (h, w, c) uint8.  REAL formats: netpbm P5/P6 decodes natively
+    (no dependency); PNG/JPEG/… decode through PIL when it is installed
+    (import-try — this container ships none)."""
     if b[:4] == b"FAKI":
         h, w, c = struct.unpack(">HHB", b[4:9])
         return np.frombuffer(b, np.uint8, count=h * w * c,
                              offset=9).reshape(h, w, c)
+    if b[:2] in (b"P5", b"P6"):
+        return _decode_pnm(b)
     try:
         import io
 
@@ -186,12 +240,48 @@ class VideoFrameSample:
     def __init__(self, stride: int = 2):
         self.stride = stride
 
+    @staticmethod
+    def _y4m_frames(b: bytes):
+        """Real YUV4MPEG2 parse (C444/mono, 8-bit): yields (h, w, c) frame
+        arrays with planes restored to interleaved channel order."""
+        eol = b.index(b"\n")
+        params = dict((tok[:1], tok[1:].decode())
+                      for tok in b[10:eol].split(b" ") if tok)
+        w, h = int(params[b"W"]), int(params[b"H"])
+        cs = params.get(b"C", "420")
+        if cs.startswith("444"):
+            nc = 3
+        elif cs.startswith("mono"):
+            nc = 1
+        else:
+            raise NotImplementedError(
+                f"y4m colorspace C{cs} needs chroma upsampling; C444 and "
+                "Cmono decode natively")
+        off, flen = eol + 1, h * w * nc
+        while off < len(b):
+            fe = b.index(b"\n", off)          # FRAME line (may carry params)
+            if b[off:off + 5] != b"FRAME":
+                raise ValueError("corrupt y4m: missing FRAME marker")
+            planes = np.frombuffer(b, np.uint8, count=flen, offset=fe + 1)
+            yield planes.reshape(nc, h, w).transpose(1, 2, 0)
+            off = fe + 1 + flen
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         mids, fidx, frames = [], [], []
         for mid, b in zip(batch["media_id"].to_pylist(),
                           batch["video"].to_pylist()):
+            if b[:9] == b"YUV4MPEG2":          # real .y4m container
+                for f, img in enumerate(self._y4m_frames(b)):
+                    if f % self.stride == 0:
+                        h, w, c = img.shape
+                        mids.append(mid); fidx.append(f)
+                        frames.append(
+                            b"FAKI" + struct.pack(">HHB", h, w, c)
+                            + np.ascontiguousarray(img).tobytes())
+                continue
             if b[:4] != b"FAKV":
-                raise NotImplementedError("only the FAKV fake format decodes")
+                raise NotImplementedError(
+                    "only FAKV and YUV4MPEG2 (.y4m) video payloads decode")
             (n_frames,) = struct.unpack(">H", b[4:6])
             off = 6
             for f in range(n_frames):

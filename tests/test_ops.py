@@ -707,3 +707,68 @@ def test_spell_correct(ray_session):
     vocab2 = vocab.assign(df=[3, 9, 40, 90, 10])
     out2 = spell_correct(rd.from_pandas(vocab2).repartition(2), ["aax"])
     assert out2.iloc[0]["term"] == "aab" and int(out2.iloc[0]["df"]) == 9
+
+
+def test_pnm_real_image_codec(ray_session):
+    """Netpbm P6/P5 are REAL image formats that decode with no library:
+    the same pixel sequence as FAKI must yield identical features, and the
+    whitespace/comment-tolerant header must parse."""
+    import ray.data as rd
+    tbl = pa.table({
+        "media_id": pa.array(range(6), pa.int64()),
+        "image": pa.array([mm.make_pnm_image(5 + i) for i in range(6)],
+                          pa.binary())})
+    out = (rd.from_arrow(tbl)
+           .map_batches(mm.ImageFeatures, batch_format="pyarrow",
+                        batch_size=3, concurrency=2)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    ref = (rd.from_arrow(mm.synth_media_table(6))
+           .map_batches(mm.ImageFeatures, batch_format="pyarrow",
+                        batch_size=3, concurrency=2)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, ref)   # same pixels -> same features
+    # grayscale P5 + a header comment, decoded directly
+    gray = mm.make_pnm_image(9, h=4, w=6, c=1)
+    gray = gray[:2] + b"\n# a comment\n" + gray[3:]
+    img = mm._decode_fake_image(gray)
+    assert img.shape == (4, 6, 1)
+    want = ((9 * 2654435761 + np.arange(24, dtype=np.int64) * 40503) % 256)
+    assert np.array_equal(img.ravel(), want.astype(np.uint8))
+
+
+def test_y4m_real_video_codec(ray_session):
+    """YUV4MPEG2 is a REAL video container: frame-sampling a .y4m stream
+    must emit byte-identical frames to the FAKV stream with the same pixel
+    sequences, through the same actor-pool stage."""
+    import ray.data as rd
+    n = 5
+    y4m = pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "video": pa.array([mm.make_y4m_video(5 + i) for i in range(n)],
+                          pa.binary())})
+    fakv = pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "video": pa.array([mm.make_fake_video(5 + i) for i in range(n)],
+                          pa.binary())})
+    def run(tbl):
+        return (rd.from_arrow(tbl)
+                .map_batches(mm.VideoFrameSample,
+                             fn_constructor_kwargs={"stride": 2},
+                             batch_format="pyarrow", batch_size=3,
+                             concurrency=2)
+                .to_pandas().sort_values(["media_id", "frame_idx"])
+                .reset_index(drop=True))
+    a, b = run(y4m), run(fakv)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == n * 3 and a["image"].map(
+        lambda x: x[:4] == b"FAKI").all()
+    # mono colorspace and the unsupported-subsampling guard
+    mono_payload = bytes(range(16))
+    mono = (b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 Cmono\n"
+            + b"FRAME\n" + mono_payload)
+    frames = list(mm.VideoFrameSample._y4m_frames(mono))
+    assert frames[0].shape == (4, 4, 1)
+    assert frames[0].tobytes() == mono_payload
+    with pytest.raises(NotImplementedError):
+        list(mm.VideoFrameSample._y4m_frames(
+            b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420jpeg\nFRAME\n" + bytes(24)))
