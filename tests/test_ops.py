@@ -772,3 +772,45 @@ def test_y4m_real_video_codec(ray_session):
     with pytest.raises(NotImplementedError):
         list(mm.VideoFrameSample._y4m_frames(
             b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420jpeg\nFRAME\n" + bytes(24)))
+
+
+def test_lm_quality(ray_session):
+    """Bigram-LM scoring vs a brute-force model on a corpus where the
+    repeated phrase must out-score the one-off gibberish."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+    from peterman_search_engine_ray.functions.textstats import raw_tokens
+    from peterman_search_engine_ray.stages.lm import lm_quality
+
+    texts = ["the cat sat on the mat",
+             "the cat sat on the hat",
+             "zeta xylo quib flurb nark",
+             "the cat sat quietly",
+             "on the mat the cat sat"]
+    tbl = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                    "text": pa.array(texts, pa.string())})
+    out = lm_quality(rd.from_arrow(tbl).repartition(3))
+
+    toks = [raw_tokens(t) for t in texts]
+    c1 = Counter(w for ts in toks for w in ts)
+    c2 = Counter((ts[i], ts[i + 1]) for ts in toks
+                 for i in range(len(ts) - 1))
+    V = len(c1)
+    want = {}
+    for did, ts in enumerate(toks):
+        terms = [math.log((c2[(ts[i], ts[i + 1])] + 1.0)
+                          / float(c1[ts[i]] + V))
+                 for i in range(len(ts) - 1)]
+        acc = 0.0
+        for v in terms:
+            acc += v
+        want[did] = (len(terms), acc / len(terms))
+    assert out["doc_id"].tolist() == list(range(5))
+    for did in range(5):
+        row = out[out["doc_id"] == did].iloc[0]
+        assert row["n_bigrams"] == want[did][0]
+        assert row["lm_score"] == want[did][1]        # bit-identical fold
+    # the gibberish doc scores strictly worst
+    assert out.sort_values("lm_score").iloc[0]["doc_id"] == 2
