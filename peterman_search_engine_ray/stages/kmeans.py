@@ -1,0 +1,103 @@
+"""Distributed k-means topic clustering over an embedding column.
+
+The training-data use case: bucket a corpus's embeddings into k topics
+(cluster sizes drive mixture re-weighting; cluster membership drives
+pruning/sampling).  This is plain-L2 Lloyd — distinct from the spherical
+k-means inside :class:`..stages.similarity.IvfAnnIndex`, whose job is ANN
+routing, and deterministic end to end so a SQL oracle can replay it:
+
+* **init** — the k lowest-id vectors (no RNG).
+* **iterate** — centroids broadcast once per round via ``ray.put``; each
+  batch emits per-cluster partial (sum, count, min_id); only k×dim
+  numbers per task cross the wire and the driver folds k×dim state —
+  never the embedding table.
+* **labels** — clusters are renumbered by their minimum member id, so
+  the output is invariant to centroid order.
+
+Numeric discipline: input vectors are integer-valued (the clustered
+derived table), so partial sums are EXACT int64; centroids are one exact
+division (sum/count).  Assignment distances are float64, but the derived
+table's cluster separation (3000·e_j vs noise < 7) exceeds any rounding
+by ~6 orders of magnitude, so argmin decisions — and therefore every
+INTEGER output column — are bit-determined.  Outputs are integers only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _partials(cref, emb_col: str, id_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        k, dim = C.shape
+        if batch.num_rows == 0:
+            return pa.table({"sums": pa.array([], pa.binary()),
+                             "counts": pa.array([], pa.binary()),
+                             "min_id": pa.array([], pa.binary())})
+        M = np.stack(batch[emb_col].to_numpy(zero_copy_only=False)
+                     ).astype(np.float64)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        # ||x-c||^2 via the expanded form: one (rows×k) matmul, no
+        # (rows×k×dim) temporary
+        d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) \
+            + (C * C).sum(axis=1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        sums = np.zeros((k, dim), np.float64)
+        np.add.at(sums, assign, M)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        min_id = np.full(k, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(min_id, assign, ids)
+        return pa.table({"sums": pa.array([sums.tobytes()], pa.binary()),
+                         "counts": pa.array([counts.tobytes()], pa.binary()),
+                         "min_id": pa.array([min_id.tobytes()], pa.binary())})
+    return fn
+
+
+def _fold(agg: pd.DataFrame, k: int, dim: int):
+    sums = np.zeros((k, dim), np.float64)
+    counts = np.zeros(k, np.int64)
+    min_id = np.full(k, np.iinfo(np.int64).max, np.int64)
+    for _, row in agg.iterrows():
+        sums += np.frombuffer(row["sums"], np.float64).reshape(k, dim)
+        counts += np.frombuffer(row["counts"], np.int64)
+        min_id = np.minimum(min_id, np.frombuffer(row["min_id"], np.int64))
+    return sums, counts, min_id
+
+
+def kmeans_topics(emb_ds: "ray.data.Dataset", k: int = 8, iters: int = 2,
+                  id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> pd.DataFrame:
+    """Lloyd k-means; returns one row per non-empty cluster:
+    (cluster, n_members, min_member, top_dim) with ``cluster`` numbered
+    by ascending minimum member id and ``top_dim`` the centroid's
+    largest dimension (ties → smallest index)."""
+    ds = emb_ds.select_columns([id_col, emb_col])
+    init = ds.sort(id_col).limit(k).take(k)
+    C = np.stack([np.asarray(r[emb_col], np.float64) for r in init])
+    k, dim = C.shape
+
+    sums = counts = min_id = None
+    for _ in range(iters):
+        cref = ray.put(C)
+        agg = ds.map_batches(_partials(cref, emb_col, id_col),
+                             batch_format="pyarrow").to_pandas()
+        sums, counts, min_id = _fold(agg, k, dim)
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = sums[nz] / counts[nz, None]   # empty cluster keeps its seed
+
+    live = np.flatnonzero(counts > 0)
+    order = live[np.argsort(min_id[live], kind="stable")]
+    # centroid argmax == argmax of the exact per-dim sums (count > 0)
+    top_dim = np.argmax(sums[order], axis=1)
+    return pd.DataFrame({
+        "cluster": pd.Series(np.arange(order.size), dtype=np.int64),
+        "n_members": pd.Series(counts[order], dtype=np.int64),
+        "min_member": pd.Series(min_id[order], dtype=np.int64),
+        "top_dim": pd.Series(top_dim, dtype=np.int64)})

@@ -814,3 +814,38 @@ def test_lm_quality(ray_session):
         assert row["lm_score"] == want[did][1]        # bit-identical fold
     # the gibberish doc scores strictly worst
     assert out.sort_values("lm_score").iloc[0]["doc_id"] == 2
+
+
+def test_kmeans_topics(ray_session):
+    """Distributed Lloyd == a driver-side numpy Lloyd with the same
+    deterministic init, on well-separated planted clusters."""
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.kmeans import kmeans_topics
+
+    n, dim, k = 120, 8, 4
+    ids = np.arange(n, dtype=np.int64)
+    M = np.zeros((n, dim), np.int64)
+    M[ids, 2 * (ids % k)] = 1000
+    M += (ids[:, None] * 97 + np.arange(dim)[None, :] * 13) % 5
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([r.tolist() for r in M],
+                                          pa.list_(pa.float64()))})
+    out = kmeans_topics(rd.from_arrow(tbl).repartition(5), k=k, iters=2)
+
+    C = M[:k].astype(np.float64)
+    for _ in range(2):
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        sums = np.zeros((k, dim)); counts = np.bincount(assign, minlength=k)
+        np.add.at(sums, assign, M.astype(np.float64))
+        C = np.where(counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], C)
+    want = []
+    for j in np.unique(assign):
+        members = ids[assign == j]
+        want.append((int(members.min()), int(members.size),
+                     int(np.argmax(sums[j]))))
+    want.sort()
+    assert len(out) == len(want)
+    for row, (mn, sz, td) in zip(out.itertuples(index=False), want):
+        assert (row.min_member, row.n_members, row.top_dim) == (mn, sz, td)
+    assert out["cluster"].tolist() == list(range(len(want)))
