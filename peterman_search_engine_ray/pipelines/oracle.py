@@ -150,6 +150,37 @@ class FullScanOracle:
         return self._topk(np.asarray(docs, np.int64),
                           np.asarray(scores, np.float64), k)
 
+    def bm25f_topk(self, keywords, k=10, lead_len=8, lead_weight=2):
+        """Naive BM25F twin of IndexReader.bm25f_topk: weighted tf counts
+        lead-field occurrences (position < lead_len) lead_weight times."""
+        toks = self._q(keywords)
+        if not toks:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        qtf: dict[str, float] = {}
+        for t in toks:
+            qtf[t] = qtf.get(t, 0.0) + 1.0
+        docs, scores = [], []
+        for i, stream in enumerate(self.tokens):
+            s = 0.0
+            hit = False
+            for t, q in qtf.items():
+                tf = self.tf_maps[i].get(t)
+                if not tf:
+                    continue
+                ltf = sum(1 for w in stream[:lead_len] if w == t)
+                wtf = tf + (lead_weight - 1) * ltf
+                df = self.doc_freq(t)
+                idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+                norm = self.k1 * (1 - self.b
+                                  + self.b * self.doc_len[i] / self.avgdl)
+                s += q * idf * wtf * (self.k1 + 1) / (wtf + norm)
+                hit = True
+            if hit:
+                docs.append(self.doc_ids[i])
+                scores.append(s)
+        return self._topk(np.asarray(docs, np.int64),
+                          np.asarray(scores, np.float64), k)
+
     def tfidf_topk(self, keywords, k=None):
         """Reference-quirk TF-IDF: idf=log10(N/df), query-terms-only vector
         length (InvertedIndexManager.java:543-668)."""

@@ -854,6 +854,48 @@ class IndexReader:
             uniq, scores = uniq[keep], scores[keep]
         return self._topk(uniq, scores, k)
 
+    def bm25f_topk(self, keywords, k: int | None = 10, lead_len: int = 8,
+                   lead_weight: int = 2) -> tuple[np.ndarray, np.ndarray]:
+        """Field-weighted BM25 (BM25F, Robertson/Zaragoza) with two
+        POSITIONAL fields: the 'lead' field — the first ``lead_len``
+        post-filter tokens, where web pages concentrate title/heading
+        signal — at weight ``lead_weight``, and the body at weight 1.
+
+        Per term, the weighted tf is ``tf + (lead_weight-1)·lead_tf``
+        (integer for integer weights, so the score expression keeps
+        bm25_topk's float discipline and the SQL oracle reproduces it
+        bit-for-bit); dl normalization stays unweighted, matching the
+        simple-BM25F variant.  lead_tf comes from the same candidate-only
+        position gather the phrase path uses — no full position decode."""
+        if not self.cfg.positional:
+            raise NotImplementedError("BM25F needs a positional index")
+        terms = self._query_weights(keywords)
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        all_docs, all_scores = [], []
+        for t, qtf, df in terms:
+            doc_ids, tf, dl = self.postings(t)
+            lead = np.zeros(doc_ids.size, np.int64)
+            for sr in self.term_segments(t):
+                g = sr.positions_gather(t, doc_ids, self.cfg.block_size)
+                if g is None:
+                    continue
+                docs_rep, pos = g
+                m = pos < lead_len
+                if not m.any():
+                    continue
+                dr = docs_rep[m]
+                idx = np.searchsorted(doc_ids, dr)
+                ok = (idx < doc_ids.size)
+                ok &= doc_ids[np.minimum(idx, doc_ids.size - 1)] == dr
+                np.add.at(lead, idx[ok], 1)
+            wtf = tf.astype(np.int64) + (lead_weight - 1) * lead
+            c = self._bm25_contrib(self._bm25_idf(df), wtf, dl)
+            all_docs.append(doc_ids)
+            all_scores.append(c if qtf == 1.0 else qtf * c)
+        uniq, scores = self._accumulate(all_docs, all_scores)
+        return self._topk(uniq, scores, k)
+
     def bm25_topk_auto(self, keywords, k: int = 10
                        ) -> tuple[np.ndarray, np.ndarray]:
         """Adaptive executor: term-at-a-time dense accumulation when every

@@ -138,6 +138,11 @@ def test_randomized_rank_identity(ray_session, tmp_path, seed):
             sorted(oracle.search_and(q).tolist())
         assert sorted(r.search_or(q).tolist()) == \
             sorted(oracle.search_or(q).tolist())
+        if len(q) <= 2:     # 2-term sums commute: scores bit-compare
+            fd, fs = r.bm25f_topk(q, 10, lead_len=5, lead_weight=3)
+            ofd, ofs = oracle.bm25f_topk(q, 10, lead_len=5, lead_weight=3)
+            assert fd.tolist() == ofd.tolist(), (q, seed)
+            assert np.allclose(fs, ofs), (q, seed)
     for ph in (["w0", "w1"], ["w3", "w3"], ["w2", "w0", "w1"]):
         assert sorted(r.search_phrase(ph).tolist()) == \
             sorted(oracle.search_phrase(ph).tolist()), (ph, seed)
