@@ -38,8 +38,11 @@ class IndexConfig:
     # DeltaVarLenCompressor), "naive" (raw 4-byte BE, NaiveCompressor), or
     # "bitpack" (delta + frame-of-reference bitpacking; 2-4x smaller than
     # varbyte on dense posting blocks) — the reference's pluggable
-    # Compressor interface (Compressor.java:6-27)
-    codec: str = "varbyte"
+    # Compressor interface (Compressor.java:6-27).  bitpack is the default:
+    # measured at sf0.1/32cpu it builds no slower than varbyte and shrinks
+    # the postings section 2-4x — at 100 TB the postings bytes are the
+    # index's IO bill (BASELINE.md has the comparison table)
+    codec: str = "bitpack"
     # position-stream codec, independently chosen: per-posting position
     # lists average a few values, where bitpack's per-group header loses to
     # varbyte's 1-byte floor — so "bitpack" postings pair with "varbyte"

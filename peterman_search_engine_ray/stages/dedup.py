@@ -748,3 +748,102 @@ def hll_distinct_terms(ds: "ray.data.Dataset", p: int = 12) -> float:
         other.reg = np.frombuffer(b, dtype=np.uint8).copy()
         total.merge(other)
     return total.estimate()
+
+
+# --- inter-document duplicated n-gram fraction ------------------------------
+
+def _gram_occ(k: int):
+    """(doc_id, text) batch → one row per DISTINCT (doc, k-gram):
+    (h = md5-lower-64 of the space-joined gram, doc_id, m = multiplicity).
+    Strict k-gram semantics: docs shorter than k tokens emit nothing
+    (unlike shingle_set's short-doc fallback) so the SQL mirror is a
+    plain generate_series window."""
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"h": pa.array([], pa.uint64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "m": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        flat, d = _flat_raw_tokens(batch["text"].to_pylist())
+        n = len(flat)
+        if n < k:
+            return empty
+        w = n - k + 1
+        valid = d[:w] == d[k - 1:]
+        if not valid.any():
+            return empty
+        cols = [flat.slice(j, w) for j in range(k)]
+        grams = (pc.binary_join_element_wise(*cols, " ") if k > 1
+                 else cols[0]).filter(pa.array(valid))
+        gd = d[:w][valid]
+        s = np.asarray(grams.to_numpy(zero_copy_only=False), dtype=object)
+        uniq, inv = np.unique(s, return_inverse=True)
+        h = md5_lower64_arr(uniq)[inv]        # one md5 per UNIQUE gram
+        doc = batch["doc_id"].to_numpy().astype(np.int64)[gd]
+        # multiplicity per (doc, h): sort once, run-length collapse
+        order = np.lexsort((h, doc))
+        doc, h = doc[order], h[order]
+        new = np.concatenate(([True], (doc[1:] != doc[:-1])
+                              | (h[1:] != h[:-1])))
+        starts = np.flatnonzero(new)
+        m = np.diff(np.append(starts, doc.size))
+        return pa.table({"h": pa.array(h[starts], pa.uint64()),
+                         "doc_id": pa.array(doc[starts]),
+                         "m": pa.array(m.astype(np.int64))})
+    return fn
+
+
+def _mark_dup_block(batch: pa.Table) -> pa.Table:
+    """After the gram-keyed exchange every gram lives wholly in one block:
+    rows-per-h IS the gram's distinct-doc count, so each row can be
+    tagged dup/unique in place — no join, no second pass."""
+    if batch.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_grams": pa.array([], pa.int64()),
+                         "n_dup": pa.array([], pa.int64())})
+    h = batch["h"].to_numpy()
+    m = batch["m"].to_numpy().astype(np.int64)
+    doc = batch["doc_id"].to_numpy()
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    starts = np.concatenate(([0], np.flatnonzero(hs[1:] != hs[:-1]) + 1))
+    ndocs = np.diff(np.append(starts, hs.size))
+    dup = np.repeat(ndocs > 1, ndocs)          # aligned with `order`
+    dup_m = np.zeros(m.size, np.int64)
+    dup_m[order] = np.where(dup, m[order], 0)
+    # partial per-doc sums (final doc-keyed exchange completes them)
+    uid, inv = np.unique(doc, return_inverse=True)
+    return pa.table({
+        "doc_id": pa.array(uid.astype(np.int64)),
+        "n_grams": pa.array(np.bincount(inv, weights=m).astype(np.int64)),
+        "n_dup": pa.array(np.bincount(inv, weights=dup_m).astype(np.int64))})
+
+
+def _sum_doc_block(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch
+    uid, inv = np.unique(batch["doc_id"].to_numpy(), return_inverse=True)
+    return pa.table({
+        "doc_id": pa.array(uid.astype(np.int64)),
+        "n_grams": pa.array(np.bincount(
+            inv, weights=batch["n_grams"].to_numpy()).astype(np.int64)),
+        "n_dup": pa.array(np.bincount(
+            inv, weights=batch["n_dup"].to_numpy()).astype(np.int64))})
+
+
+def dup_ngram_stats(ds: "ray.data.Dataset", k: int = 3,
+                    num_parts: int = 16) -> "ray.data.Dataset":
+    """Per-doc inter-document duplicated k-gram stats (the RefinedWeb /
+    Gopher boilerplate signal): ``n_grams`` = the doc's k-gram
+    occurrences, ``n_dup`` = occurrences whose k-gram appears in more
+    than one distinct document.  Exactly TWO keyed exchanges of
+    (hash, doc, count) rows — gram-keyed (where rows-per-gram is the
+    distinct-doc count, so dup-tagging is free), then doc-keyed for the
+    final integer sums.  Nothing corpus-scale touches the driver; the
+    result is doc-scale and ships as a Dataset."""
+    from .shuffle import hash_partition
+    occ = ds.map_batches(_gram_occ(k), batch_format="pyarrow")
+    partials = (hash_partition(occ, ["h"], num_parts)
+                .map_batches(_mark_dup_block, batch_format="pyarrow"))
+    return (hash_partition(partials, ["doc_id"], num_parts)
+            .map_batches(_sum_doc_block, batch_format="pyarrow"))

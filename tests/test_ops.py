@@ -849,3 +849,41 @@ def test_kmeans_topics(ray_session):
     for row, (mn, sz, td) in zip(out.itertuples(index=False), want):
         assert (row.min_member, row.n_members, row.top_dim) == (mn, sz, td)
     assert out["cluster"].tolist() == list(range(len(want)))
+
+
+def test_dup_ngram_stats(ray_session):
+    """Inter-document duplicated-trigram stats vs a brute-force Counter."""
+    from collections import Counter
+
+    import ray.data as rd
+    from peterman_search_engine_ray.functions.textstats import raw_tokens
+    from peterman_search_engine_ray.stages.dedup import dup_ngram_stats
+
+    texts = ["a b c d e",                  # 'a b c','b c d','c d e'
+             "x y z a b c q",              # shares 'a b c'
+             "a b c d e",                  # full dup of 0
+             "one two",                    # < 3 tokens -> no grams
+             "p p p p"]                    # self-repeats only (1 doc)
+    tbl = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                    "text": pa.array(texts, pa.string())})
+    out = (dup_ngram_stats(rd.from_arrow(tbl).repartition(3), k=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    grams = {}
+    for did, t in enumerate(texts):
+        ts = raw_tokens(t)
+        grams[did] = Counter(" ".join(ts[i:i + 3])
+                             for i in range(len(ts) - 2))
+    ndocs = Counter()
+    for c in grams.values():
+        for g in c:
+            ndocs[g] += 1
+    want = {did: (sum(c.values()),
+                  sum(m for g, m in c.items() if ndocs[g] > 1))
+            for did, c in grams.items() if c}
+    assert out["doc_id"].tolist() == sorted(want)
+    for row in out.itertuples(index=False):
+        assert (row.n_grams, row.n_dup) == want[row.doc_id], row.doc_id
+    # doc 3 absent (too short); doc 4's self-repeated gram is NOT dup
+    assert 3 not in out["doc_id"].tolist()
+    assert out[out["doc_id"] == 4]["n_dup"].iloc[0] == 0
