@@ -847,3 +847,117 @@ def dup_ngram_stats(ds: "ray.data.Dataset", k: int = 3,
                 .map_batches(_mark_dup_block, batch_format="pyarrow"))
     return (hash_partition(partials, ["doc_id"], num_parts)
             .map_batches(_sum_doc_block, batch_format="pyarrow"))
+
+
+# --- duplicated-substring spans ---------------------------------------------
+
+def _gram_pos(k: int):
+    """(doc_id, text) batch → one row per k-gram OCCURRENCE:
+    (h, doc_id, g) with ``g`` the 1-based token position of the gram's
+    first token (the coordinate a span edit consumes)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"h": pa.array([], pa.uint64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "g": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        flat, d = _flat_raw_tokens(batch["text"].to_pylist())
+        n = len(flat)
+        if n < k:
+            return empty
+        w = n - k + 1
+        valid = d[:w] == d[k - 1:]
+        if not valid.any():
+            return empty
+        cols = [flat.slice(j, w) for j in range(k)]
+        grams = (pc.binary_join_element_wise(*cols, " ") if k > 1
+                 else cols[0]).filter(pa.array(valid))
+        gd = d[:w][valid]
+        s = np.asarray(grams.to_numpy(zero_copy_only=False), dtype=object)
+        uniq, inv = np.unique(s, return_inverse=True)
+        h = md5_lower64_arr(uniq)[inv]
+        starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+        first = np.zeros(len(batch["text"]), np.int64)
+        first[d[starts]] = starts
+        pos = np.arange(w, dtype=np.int64)[valid] - first[gd] + 1
+        return pa.table({"h": pa.array(h, pa.uint64()),
+                         "doc_id": pa.array(
+                             batch["doc_id"].to_numpy().astype(np.int64)[gd]),
+                         "g": pa.array(pos)})
+    return fn
+
+
+def _emit_dup_rows(batch: pa.Table) -> pa.Table:
+    """Gram-keyed block → only the occurrences whose gram appears in >1
+    DISTINCT doc survive (result-scale: the duplicated positions)."""
+    if batch.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "g": pa.array([], pa.int64())})
+    h = batch["h"].to_numpy()
+    doc = batch["doc_id"].to_numpy()
+    # distinct-doc count per h: collapse (h, doc) then count per h
+    order = np.lexsort((doc, h))
+    hs, ds_ = h[order], doc[order]
+    new_pair = np.concatenate(([True], (hs[1:] != hs[:-1])
+                               | (ds_[1:] != ds_[:-1])))
+    ph, = (hs[new_pair],)
+    hstart = np.concatenate(([0], np.flatnonzero(ph[1:] != ph[:-1]) + 1))
+    ndocs = np.diff(np.append(hstart, ph.size))
+    h_uniq = ph[hstart]
+    dup_h = h_uniq[ndocs > 1]
+    keep = np.isin(h, dup_h)
+    return pa.table({"doc_id": pa.array(doc[keep].astype(np.int64)),
+                     "g": pa.array(batch["g"].to_numpy()[keep]
+                                   .astype(np.int64))})
+
+
+def _spans_block(min_grams: int):
+    """Doc-keyed block of duplicated positions → maximal consecutive-g
+    runs per doc: (doc_id, start, end, n_grams), runs >= min_grams."""
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "start": pa.array([], pa.int64()),
+                          "end": pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        doc = batch["doc_id"].to_numpy()
+        g = batch["g"].to_numpy()
+        order = np.lexsort((g, doc))
+        doc, g = doc[order], g[order]
+        # dedupe multiplicity (same gram position emitted once per extra
+        # in-doc occurrence of a duplicated gram)
+        first = np.concatenate(([True], (doc[1:] != doc[:-1])
+                                | (g[1:] != g[:-1])))
+        doc, g = doc[first], g[first]
+        run_start = np.concatenate(([True], (doc[1:] != doc[:-1])
+                                    | (g[1:] != g[:-1] + 1)))
+        rs = np.flatnonzero(run_start)
+        n = np.diff(np.append(rs, doc.size))
+        keep = n >= min_grams
+        return pa.table({
+            "doc_id": pa.array(doc[rs[keep]].astype(np.int64)),
+            "start": pa.array(g[rs[keep]].astype(np.int64)),
+            "end": pa.array((g[rs[keep]] + n[keep] - 1).astype(np.int64)),
+            "n_grams": pa.array(n[keep].astype(np.int64))})
+    return fn
+
+
+def dup_spans(ds: "ray.data.Dataset", k: int = 3, min_grams: int = 2,
+              num_parts: int = 16) -> "ray.data.Dataset":
+    """Duplicated-substring spans (the span-cut variant of exact substring
+    dedup, Lee et al. 2022 'Deduplicating Training Data Makes Language
+    Models Better'): per doc, the maximal runs of CONSECUTIVE k-gram
+    positions whose k-gram occurs in more than one distinct document —
+    the spans a curation pass cuts instead of dropping whole docs.
+
+    Two keyed exchanges: gram-keyed (distinct-doc count per gram is free
+    in-block; only DUPLICATED positions — result-scale — survive it),
+    then doc-keyed run-length islands.  All-integer output
+    (doc_id, start, end, n_grams) in 1-based token coordinates."""
+    from .shuffle import hash_partition
+    occ = ds.map_batches(_gram_pos(k), batch_format="pyarrow")
+    dups = (hash_partition(occ, ["h"], num_parts)
+            .map_batches(_emit_dup_rows, batch_format="pyarrow"))
+    return (hash_partition(dups, ["doc_id"], num_parts)
+            .map_batches(_spans_block(min_grams), batch_format="pyarrow"))

@@ -887,3 +887,49 @@ def test_dup_ngram_stats(ray_session):
     # doc 3 absent (too short); doc 4's self-repeated gram is NOT dup
     assert 3 not in out["doc_id"].tolist()
     assert out[out["doc_id"] == 4]["n_dup"].iloc[0] == 0
+
+
+def test_dup_spans(ray_session):
+    """Duplicated-substring spans vs a brute-force islands computation."""
+    from collections import Counter
+
+    import ray.data as rd
+    from peterman_search_engine_ray.functions.textstats import raw_tokens
+    from peterman_search_engine_ray.stages.dedup import dup_spans
+
+    texts = ["alpha beta gamma delta epsilon zeta",
+             "junk alpha beta gamma delta words end",   # shares a 4-token run
+             "totally unrelated content here now",
+             "alpha beta gamma delta epsilon zeta"]     # full dup of 0
+    tbl = pa.table({"doc_id": pa.array(np.arange(4, dtype=np.int64)),
+                    "text": pa.array(texts, pa.string())})
+    out = (dup_spans(rd.from_arrow(tbl).repartition(2), k=3, min_grams=2)
+           .to_pandas().sort_values(["doc_id", "start"])
+           .reset_index(drop=True))
+
+    k = 3
+    toks = [raw_tokens(t) for t in texts]
+    owner = {}
+    for did, ts in enumerate(toks):
+        for i in range(len(ts) - k + 1):
+            owner.setdefault(" ".join(ts[i:i + k]), set()).add(did)
+    want = []
+    for did, ts in enumerate(toks):
+        dup_pos = sorted({i + 1 for i in range(len(ts) - k + 1)
+                          if len(owner[" ".join(ts[i:i + k])]) > 1})
+        run = []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                if len(run) >= 2:
+                    want.append((did, run[0], run[-1], len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    assert [tuple(r) for r in out.itertuples(index=False)] == want
+    # doc 0 and 3 fully duplicated: span covers all 4 gram positions
+    full = out[out["doc_id"] == 0].iloc[0]
+    assert (full["start"], full["end"], full["n_grams"]) == (1, 4, 4)
+    # doc 1's shared run: grams at positions 2,3 ('alpha beta gamma',
+    # 'beta gamma delta')
+    mid = out[out["doc_id"] == 1].iloc[0]
+    assert (mid["start"], mid["end"]) == (2, 3)
