@@ -933,3 +933,43 @@ def test_dup_spans(ray_session):
     # 'beta gamma delta')
     mid = out[out["doc_id"] == 1].iloc[0]
     assert (mid["start"], mid["end"]) == (2, 3)
+
+
+def test_mg_sketch_heavy_hitters(ray_session):
+    """MG compress bound holds; sketch+verify == brute-force top-k; the
+    prover refuses when m is too small to prove the answer."""
+    from collections import Counter
+
+    import ray.data as rd
+    from peterman_search_engine_ray.functions.textstats import raw_tokens
+    from peterman_search_engine_ray.stages.sketch import (mg_compress,
+                                                          top_terms_exact)
+
+    # compress bound: undercount per surviving term <= dropped kth value
+    rng = np.random.RandomState(4)
+    counts = rng.zipf(1.5, 400).astype(np.int64)
+    terms = np.array([f"t{i}" for i in range(400)], dtype=object)
+    ct, cc, b = mg_compress(terms, counts, 64)
+    assert ct.size <= 64
+    full = dict(zip(terms, counts))
+    assert all(0 < c <= full[t] and full[t] - c <= b
+               for t, c in zip(ct, cc))
+
+    # zipfian corpus: provably-exact top-k == brute force
+    vocab = [f"w{i}" for i in range(200)]
+    p = 1.0 / np.arange(1, 201); p /= p.sum()
+    texts = [" ".join(rng.choice(vocab, size=30, p=p)) for _ in range(60)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(60, dtype=np.int64)),
+                    "text": pa.array(texts, pa.string())})
+    out = top_terms_exact(rd.from_arrow(tbl).repartition(4), k=10, m=256)
+    brute = Counter(w for t in texts for w in raw_tokens(t))
+    want = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(out["term"], out["n"])) == want
+
+    # near-uniform counts with a tiny m: unprovable -> refuses loudly
+    # instead of approximating
+    utexts = [" ".join(rng.choice(vocab, size=30)) for _ in range(60)]
+    utbl = pa.table({"doc_id": pa.array(np.arange(60, dtype=np.int64)),
+                     "text": pa.array(utexts, pa.string())})
+    with pytest.raises(ValueError, match="cannot prove"):
+        top_terms_exact(rd.from_arrow(utbl).repartition(4), k=10, m=2)
