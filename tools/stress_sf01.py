@@ -31,7 +31,8 @@ DEFAULT = ["windowed_counts", "sessionize", "props_stats",
            "lang_routed_search", "url_latest", "upsert_search",
            "host_pagerank", "hybrid_search", "fuzzy_search", "pmi_pairs",
            "keywords_per_doc", "crawl_delta", "source_dup_stats",
-           "sequence_pack", "lang_confusion"]
+           "sequence_pack", "lang_confusion", "lm_quality", "dup_ngrams",
+           "dup_spans", "topic_clusters", "heavy_hitters", "bm25f_top10"]
 
 
 def main():
