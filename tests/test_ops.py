@@ -973,3 +973,27 @@ def test_mg_sketch_heavy_hitters(ray_session):
                      "text": pa.array(utexts, pa.string())})
     with pytest.raises(ValueError, match="cannot prove"):
         top_terms_exact(rd.from_arrow(utbl).repartition(4), k=10, m=2)
+
+
+def test_percolate(ray_session):
+    """Stored-query matching vs hand-derived expectations, AND + phrase
+    modes, incl. doc-boundary safety for the phrase run check."""
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.percolate import percolate
+
+    texts = ["big data systems win",          # phrase + and(data)
+             "data is big",                   # and-terms present, no phrase
+             "big\ndata never sleeps",        # phrase across whitespace ok
+             "nothing relevant",
+             "ends with big",                 # phrase must NOT leak into
+             "data starts here"]              # ...the next doc
+    tbl = pa.table({"doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                    "text": pa.array(texts, pa.string())})
+    stored = [(7, "and", ["big", "data"]),
+              (9, "phrase", ["big", "data"])]
+    out = (percolate(rd.from_arrow(tbl).repartition(1), stored)
+           .to_pandas().sort_values(["query_id", "doc_id"]))
+    got = set(zip(out["query_id"], out["doc_id"]))
+    assert got == {(7, 0), (7, 1), (7, 2), (9, 0), (9, 2)}
+    with pytest.raises(Exception, match="unknown stored-query mode"):
+        percolate(rd.from_arrow(tbl), [(0, "nope", ["x"])]).to_pandas()
