@@ -143,7 +143,8 @@ def cmd_query(args) -> int:
                           "total": int(d.size)}))
         return 0
     fn = {"bm25": r.bm25_topk, "bm25_pruned": r.bm25_topk_pruned,
-          "bm25_auto": r.bm25_topk_auto, "tfidf": r.tfidf_topk}[mode]
+          "bm25_auto": r.bm25_topk_auto, "tfidf": r.tfidf_topk,
+          "bm25f": r.bm25f_topk}[mode]
     d, s = fn(terms, args.k)
     docs = r.get_docs(d) if d.size else None
     urls = (docs.set_index("doc_id")["url"].to_dict() if docs is not None
@@ -228,9 +229,9 @@ def main(argv=None) -> int:
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
     q.add_argument("--mode", default="bm25_auto",
-                   choices=["bm25", "bm25_pruned", "bm25_auto", "tfidf",
-                            "and", "or", "phrase", "keyword", "not",
-                            "near", "bool"])
+                   choices=["bm25", "bm25_pruned", "bm25_auto", "bm25f",
+                            "tfidf", "and", "or", "phrase", "keyword",
+                            "not", "near", "bool"])
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--exclude", nargs="*", default=None,
                    help="excluded keywords for --mode not")

@@ -1139,7 +1139,7 @@ class QueryExecutor:
     """Actor-pool query stage: one IndexReader per actor, built in __init__.
 
     Input batch: (query_id:int64, query:string, k:int32, mode:string in
-    {keyword,and,or,phrase,bool,near,bm25,bm25_pruned,bm25_auto,tfidf});
+    {keyword,and,or,phrase,bool,near,bm25,bm25_pruned,bm25_auto,bm25f,tfidf});
     multi-word queries are whitespace-joined strings ("bool" queries are
     full boolean-language expressions; for "near", k is the position
     window). Output: (query_id, doc_ids:list<int64>, scores:list<double>).
@@ -1174,6 +1174,8 @@ class QueryExecutor:
                 d, s = r.bm25_topk(words, k)
             elif mode == "bm25_pruned":
                 d, s = r.bm25_topk_pruned(words, k)
+            elif mode == "bm25f":
+                d, s = r.bm25f_topk(words, k)
             elif mode == "tfidf":
                 d, s = r.tfidf_topk(words, k)
             else:
