@@ -106,7 +106,7 @@ def _batch_shingle_hashes(texts: list, k: int) -> tuple[np.ndarray,
 
 def make_pair_emitter(key_cols: list[str], max_group: int,
                       carry: str | None = None, label: str = "pairs",
-                      count_col: str | None = None):
+                      count_col: str | None = None, pair_filter=None):
     """Batch fn for a hash-partitioned (complete-group) block: for every
     group of rows sharing ``key_cols``, emit all doc_id pairs (a < b), all
     numpy — the per-group Python is index arithmetic only.
@@ -114,7 +114,11 @@ def make_pair_emitter(key_cols: list[str], max_group: int,
     ``carry``: also emit that column's values as ca/cb per pair.
     ``count_col``: pre-combine identical pairs within the block and emit
     their multiplicity (map-side partial aggregation for the global
-    pair-count groupby)."""
+    pair-count groupby).
+    ``pair_filter``: ObjectRef to a SORTED packed ``(a << 32) | b`` int64
+    array — only those pairs survive the block (map-side restriction to a
+    known candidate set; on a replicated corpus this cuts the pair
+    exchange from all-pairs-per-hot-shingle scale to candidate scale)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         def empty() -> pa.Table:
@@ -166,6 +170,18 @@ def make_pair_emitter(key_cols: list[str], max_group: int,
             return empty()
         a = np.concatenate(A).astype(np.int64)
         b = np.concatenate(B).astype(np.int64)
+        if pair_filter is not None:
+            filt = ray.get(pair_filter)
+            key = (a << 32) | b
+            idx = np.searchsorted(filt, key)
+            ok = idx < filt.size
+            ok &= filt[np.minimum(idx, filt.size - 1)] == key
+            a, b = a[ok], b[ok]
+            if carry:
+                CA = [np.concatenate(CA).astype(np.int64)[ok]]
+                CB = [np.concatenate(CB).astype(np.int64)[ok]]
+            if a.size == 0:
+                return empty()
         if count_col:
             key = np.stack([a, b], axis=1)
             uniq, counts = np.unique(key, axis=0, return_counts=True)
@@ -299,7 +315,8 @@ def _doc_shingle_counts(k: int, need_ref=None):
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", k: int = 2,
                         tau_num: int = 3, tau_den: int = 10,
                         max_group: int = 1000,
-                        num_parts: int = 32) -> pd.DataFrame:
+                        num_parts: int = 32,
+                        pair_filter=None) -> pd.DataFrame:
     """Exact Jaccard near-dup pairs: jaccard(a,b) ≥ tau_num/tau_den, computed
     with pure-integer arithmetic (``inter·den ≥ num·union``) so a SQL oracle
     agrees bit-for-bit.  Returns a driver-side DataFrame (a, b) — pair sets
@@ -314,7 +331,8 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", k: int = 2,
     partials = (_hash_partition(sh, ["s"], num_parts)
                 .map_batches(make_pair_emitter(
                     ["s"], max_group, label="ngram_jaccard",
-                    count_col="inter_part"), batch_format="pyarrow"))
+                    count_col="inter_part", pair_filter=pair_filter),
+                    batch_format="pyarrow"))
     pair_counts = (_hash_partition(partials, ["a", "b"], num_parts)
                    .map_batches(_sum_pairs_block, batch_format="pyarrow")
                    .to_pandas())
@@ -470,8 +488,19 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64,
     # pathological duplicate-heavy corpora (run exact_dedup first for
     # those — curate_corpus does); drops are loudly logged by the emitter.
     verify_cap = max(int(verify_max_group), max_group)
+    # restrict the verify's pair emission to the BANDING candidates,
+    # map-side: without it a hot shingle among candidate docs re-emits
+    # all-pairs (C(cap,2) per shingle — measured 34M partial rows / 28 s
+    # of pair exchange on the 160×-replicated bench corpus; candidate
+    # pairs are 379k).  This is also the honest LSH semantics: the output
+    # is banding ∩ exact, not exact-over-candidate-docs.
+    pair_ref = None
+    if int(need.max(initial=0)) < (1 << 31):
+        packed = np.unique((cand["a"].to_numpy() << 32)
+                           | cand["b"].to_numpy())
+        pair_ref = ray.put(packed)
     out = ngram_jaccard_pairs(sub, k=k, tau_num=tau_num, tau_den=tau_den,
-                              max_group=verify_cap)
+                              max_group=verify_cap, pair_filter=pair_ref)
     return out[["a", "b"]].reset_index(drop=True) if len(out) else empty
 
 
