@@ -997,3 +997,30 @@ def test_percolate(ray_session):
     assert got == {(7, 0), (7, 1), (7, 2), (9, 0), (9, 2)}
     with pytest.raises(Exception, match="unknown stored-query mode"):
         percolate(rd.from_arrow(tbl), [(0, "nope", ["x"])]).to_pandas()
+
+
+def test_funnel_counts(ray_session):
+    """Ordered funnel vs hand-computed chains, incl. the strict-order
+    rule (a click BEFORE the first view must not count)."""
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.events import funnel_counts
+
+    rows = [  # (user, ts_us, type)
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "error"),   # full
+        (2, 100, "view"), (2, 150, "click"),                      # 2 steps
+        (3, 100, "click"), (3, 200, "view"),                      # click too
+        (3, 300, "click"),                                        # ...then ok
+        (4, 100, "error"), (4, 200, "view"),                      # view only
+        (5, 100, "view"), (5, 100, "click"),                      # same-ts:
+    ]                                                             # not after
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64())})
+    out = funnel_counts(rd.from_arrow(tbl).repartition(3))
+    assert out["step"].tolist() == [0, 1, 2]
+    assert out["event_type"].tolist() == ["view", "click", "error"]
+    # step0: users 1,2,3,4,5; step1: 1,2,3 (5's click ties, 3's later
+    # click counts); step2: 1 only
+    assert out["n_users"].tolist() == [5, 3, 1]
