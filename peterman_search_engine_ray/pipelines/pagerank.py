@@ -187,3 +187,63 @@ def combined_search(reader, pr_scores: dict[int, float], keywords,
     combined = tfidf + pr_weight * pr
     order = np.lexsort((doc_ids, -combined))[:k]
     return doc_ids[order], combined[order]
+
+
+def hits_numpy(edges: pd.DataFrame, iters: int = 2) -> pd.DataFrame:
+    """Driver-side HITS twin of :func:`hits_ray` (tests assert identity).
+    Unnormalized Kleinberg iterations: for a FIXED iteration count the
+    per-step L2 normalization is a positive scalar, so skipping it
+    preserves the ranking and keeps every score an exact int64."""
+    src = edges["src"].to_numpy().astype(np.int64)
+    dst = edges["dst"].to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    si, di = np.searchsorted(nodes, src), np.searchsorted(nodes, dst)
+    h = np.ones(nodes.size, np.int64)
+    a = np.zeros(nodes.size, np.int64)
+    for _ in range(iters):
+        a = np.zeros(nodes.size, np.int64)
+        np.add.at(a, di, h[si])
+        h = np.zeros(nodes.size, np.int64)
+        np.add.at(h, si, a[di])
+    return pd.DataFrame({"node": nodes, "authority": a, "hub": h})
+
+
+def hits_ray(edges_ds: "ray.data.Dataset", iters: int = 2) -> pd.DataFrame:
+    """Distributed HITS (hubs & authorities) over the edge Dataset, same
+    exchange shape as :func:`pagerank_ray`: the score vector broadcasts
+    once per half-step (``ray.put`` of an int64 array), each batch maps
+    endpoint→score via searchsorted, and a ``groupby().sum`` shuffle
+    accumulates — O(nodes) driver state, edges never leave the Dataset.
+    Integer arithmetic throughout (see hits_numpy), so the SQL oracle is
+    exact."""
+    from ray.data.aggregate import Sum
+    deg = edges_ds.groupby("src").count().to_pandas()
+    dsts = edges_ds.groupby("dst").count().to_pandas()
+    nodes = np.unique(np.concatenate([deg["src"].to_numpy(),
+                                      dsts["dst"].to_numpy()]))
+    nodes_ref = ray.put(nodes)
+
+    def pull(from_col: str, to_col: str, w_ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            ns, wv = ray.get(nodes_ref), ray.get(w_ref)
+            idx = np.searchsorted(ns, batch[from_col].to_numpy())
+            return pa.table({to_col: batch[to_col],
+                             "w": pa.array(wv[idx], pa.int64())})
+        return fn
+
+    def half_step(from_col: str, to_col: str, w: np.ndarray) -> np.ndarray:
+        sums = (edges_ds.map_batches(pull(from_col, to_col, ray.put(w)),
+                                     batch_format="pyarrow")
+                .groupby(to_col).aggregate(Sum("w", alias_name="s"))
+                .to_pandas())
+        out = np.zeros(nodes.size, np.int64)
+        out[np.searchsorted(nodes, sums[to_col].to_numpy())] = \
+            sums["s"].to_numpy().astype(np.int64)
+        return out
+
+    h = np.ones(nodes.size, np.int64)
+    a = np.zeros(nodes.size, np.int64)
+    for _ in range(iters):
+        a = half_step("src", "dst", h)      # authorities pull hub mass
+        h = half_step("dst", "src", a)      # hubs pull authority mass
+    return pd.DataFrame({"node": nodes, "authority": a, "hub": h})

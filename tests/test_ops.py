@@ -1024,3 +1024,22 @@ def test_funnel_counts(ray_session):
     # step0: users 1,2,3,4,5; step1: 1,2,3 (5's click ties, 3's later
     # click counts); step2: 1 only
     assert out["n_users"].tolist() == [5, 3, 1]
+
+
+def test_hits(ray_session):
+    """Distributed HITS == the numpy twin; authorities behave (the hub
+    target doc 0 gets the most in-links -> top authority)."""
+    import ray.data as rd
+    from peterman_search_engine_ray.pipelines.pagerank import (
+        hits_numpy, hits_ray, synth_edges)
+    edges_tbl = synth_edges(np.arange(50))
+    a = hits_numpy(edges_tbl.to_pandas(), iters=2)
+    b = hits_ray(rd.from_arrow(edges_tbl), iters=2)
+    pd.testing.assert_frame_equal(a, b)
+    top = a.sort_values(["authority", "node"],
+                        ascending=[False, True]).iloc[0]
+    assert top["node"] == 0                 # extra in-links from idx%7==1
+    assert (a["authority"] >= 0).all() and a["authority"].dtype == np.int64
+    # a 3rd iteration changes scores (sanity that iters matters)
+    c = hits_numpy(edges_tbl.to_pandas(), iters=3)
+    assert not c["authority"].equals(a["authority"])
