@@ -331,3 +331,116 @@ def funnel_counts(events_ds: "ray.data.Dataset",
         "event_type": pd.Series(list(steps), dtype=object),
         "n_users": pd.Series([int(agg.get(i, 0)) for i in
                               range(len(steps))], dtype=np.int64)})
+
+
+def sliding_counts(events_ds: "ray.data.Dataset",
+                   window_us: int = _US_PER_HOUR,
+                   hop_us: int = _US_PER_HOUR // 4,
+                   num_parts: int = 32) -> pd.DataFrame:
+    """Sliding (hopping) window counts per (event_type, window start):
+    each event belongs to ``window_us / hop_us`` overlapping windows, so
+    the map side EXPLODES the window key (a fixed small factor), then the
+    exchange is the same partial-rows shape as :func:`windowed_counts` —
+    still O(distinct (type, window)) rows, never the events."""
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    fanout = window_us // hop_us
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "win_us": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ts = _ts_us(batch)
+        last = (ts // hop_us) * hop_us        # latest window containing t
+        starts = last[:, None] - np.arange(fanout, dtype=np.int64)[None, :] \
+            * hop_us
+        et = np.repeat(np.asarray(batch["event_type"].to_pylist(),
+                                  dtype=object), fanout)
+        df = pd.DataFrame({"event_type": et, "win_us": starts.ravel()})
+        g = (df.groupby(["event_type", "win_us"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.table({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "win_us": pa.array(g["win_us"].to_numpy(), pa.int64()),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64))})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = batch.to_pandas()
+        g = (df.groupby(["event_type", "win_us"], sort=False)["n"]
+               .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (hash_partition(
+                events_ds.select_columns(["ts", "event_type"])
+                         .map_batches(partials, batch_format="pyarrow"),
+                ["event_type", "win_us"], num_parts)
+           .map_batches(combine, batch_format="pyarrow")
+           .to_pandas())
+    out["win_us"] = out["win_us"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["event_type", "win_us"])
+               .reset_index(drop=True))
+
+
+def coview_pairs(events_ds: "ray.data.Dataset", k: int = 20,
+                 max_group: int = 500,
+                 num_parts: int = 16) -> pd.DataFrame:
+    """Item co-occurrence counts (the collaborative-filtering building
+    block): top-k item pairs by the number of DISTINCT users who touched
+    both, item = the ``props.k`` field.  Map-side (user, item) dedupe,
+    one user-keyed exchange, the shared pair-emitter kernel per user
+    group (capped + logged), one pair-keyed exchange of
+    (a, b, partial-count) rows — users' raw events never pair-explode."""
+    import json
+
+    from .dedup import _sum_pairs_block, make_pair_emitter
+
+    def user_items(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        users = batch["user_id"].to_numpy().astype(np.int64)
+        items = np.fromiter((int(json.loads(pr)["k"])
+                             for pr in batch["props"].to_pylist()),
+                            dtype=np.int64, count=batch.num_rows)
+        key = (users << 32) | items
+        uniq = np.unique(key)
+        return pa.table({"user_id": pa.array(uniq >> 32),
+                         "doc_id": pa.array(uniq & 0xFFFFFFFF)})
+
+    ui = (hash_partition(
+              events_ds.select_columns(["user_id", "props"])
+                       .map_batches(user_items, batch_format="pyarrow"),
+              ["user_id"], num_parts)
+          .map_batches(_dedup_user_items, batch_format="pyarrow"))
+    partials = ui.map_batches(
+        make_pair_emitter(["user_id"], max_group, label="coview",
+                          count_col="inter_part"), batch_format="pyarrow")
+    from .shuffle import hash_partition as _hp
+    counts = (_hp(partials, ["a", "b"], num_parts)
+              .map_batches(_sum_pairs_block, batch_format="pyarrow")
+              .to_pandas())
+    if counts.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("a", "b", "n")})
+    counts = counts.rename(columns={"inter": "n"})
+    for c in ("a", "b", "n"):
+        counts[c] = counts[c].astype(np.int64)
+    return (counts.sort_values(["n", "a", "b"],
+                               ascending=[False, True, True])
+            .head(k).reset_index(drop=True))
+
+
+def _dedup_user_items(batch: pa.Table) -> pa.Table:
+    """After the user-keyed exchange: global (user, item) dedupe is a
+    per-block dedupe because each user lives wholly in one block."""
+    if batch.num_rows == 0:
+        return batch
+    key = (batch["user_id"].to_numpy().astype(np.int64) << 32) \
+        | batch["doc_id"].to_numpy().astype(np.int64)
+    uniq = np.unique(key)
+    return pa.table({"user_id": pa.array(uniq >> 32),
+                     "doc_id": pa.array(uniq & 0xFFFFFFFF)})

@@ -1043,3 +1043,46 @@ def test_hits(ray_session):
     # a 3rd iteration changes scores (sanity that iters matters)
     c = hits_numpy(edges_tbl.to_pandas(), iters=3)
     assert not c["authority"].equals(a["authority"])
+
+
+def test_sliding_and_coview(ray_session):
+    """Sliding windows vs brute force; co-view pairs vs brute force."""
+    import json
+    from collections import Counter
+    from itertools import combinations
+
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.events import (coview_pairs,
+                                                          sliding_counts)
+
+    H = 3_600_000_000
+    rows = [(i, (i * 7919) % (6 * H), i % 5, "view" if i % 3 else "click",
+             '{"k": %d}' % (i % 7)) for i in range(200)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "props": pa.array([r[4] for r in rows], pa.string())})
+    ds = rd.from_arrow(tbl).repartition(4)
+
+    out = sliding_counts(ds, window_us=H, hop_us=H // 4)
+    want = Counter()
+    for _, ts, _, et, _ in rows:
+        last = (ts // (H // 4)) * (H // 4)
+        for i in range(4):
+            want[(et, last - i * (H // 4))] += 1
+    got = {(r.event_type, r.win_us): r.n for r in out.itertuples(index=False)}
+    assert got == dict(want)
+
+    cv = coview_pairs(ds, k=50)
+    ui = {}
+    for _, _, u, _, pr in rows:
+        ui.setdefault(u, set()).add(json.loads(pr)["k"])
+    brute = Counter()
+    for items in ui.values():
+        for a, b in combinations(sorted(items), 2):
+            brute[(a, b)] += 1
+    want_sorted = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got_pairs = [((r.a, r.b), r.n) for r in cv.itertuples(index=False)]
+    assert got_pairs == want_sorted
