@@ -444,3 +444,60 @@ def _dedup_user_items(batch: pa.Table) -> pa.Table:
     uniq = np.unique(key)
     return pa.table({"user_id": pa.array(uniq >> 32),
                      "doc_id": pa.array(uniq & 0xFFFFFFFF)})
+
+
+def retention_cohorts(events_ds: "ray.data.Dataset",
+                      day_us: int = 24 * _US_PER_HOUR,
+                      num_parts: int = 16) -> pd.DataFrame:
+    """Cohort retention: users grouped by first-activity day (cohort),
+    counted per (cohort, day offset) of later activity.  Map-side
+    (user, day) dedupe, ONE user-keyed exchange (a user's whole day set
+    co-locates, so cohort = in-block min), per-block (cohort, offset)
+    partial counts; the driver sums O(cohorts × offsets) rows."""
+
+    def user_days(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "day": pa.array([], pa.int64())})
+        key = (batch["user_id"].to_numpy().astype(np.int64) << 20) \
+            | (_ts_us(batch) // day_us)
+        uniq = np.unique(key)
+        return pa.table({"user_id": pa.array(uniq >> 20),
+                         "day": pa.array(uniq & ((1 << 20) - 1))})
+
+    def cohort_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort_day": pa.array([], pa.int64()),
+                          "day_offset": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        user = batch["user_id"].to_numpy()
+        day = batch["day"].to_numpy()
+        # global (user, day) dedupe is per-block after the exchange
+        key = (user << 20) | day
+        uniq = np.unique(key)
+        user, day = uniq >> 20, uniq & ((1 << 20) - 1)
+        uid, inv = np.unique(user, return_inverse=True)
+        cohort = np.full(uid.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(cohort, inv, day)
+        pair = np.stack([cohort[inv], day - cohort[inv]], axis=1)
+        up, counts = np.unique(pair, axis=0, return_counts=True)
+        return pa.table({"cohort_day": pa.array(up[:, 0]),
+                         "day_offset": pa.array(up[:, 1]),
+                         "n_users": pa.array(counts.astype(np.int64))})
+
+    parts = (hash_partition(
+                 events_ds.select_columns(["ts", "user_id"])
+                          .map_batches(user_days, batch_format="pyarrow"),
+                 ["user_id"], num_parts)
+             .map_batches(cohort_block, batch_format="pyarrow")
+             .to_pandas())
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("cohort_day", "day_offset",
+                                       "n_users")})
+    out = (parts.groupby(["cohort_day", "day_offset"], sort=True)
+           ["n_users"].sum().reset_index())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -1086,3 +1086,23 @@ def test_sliding_and_coview(ray_session):
     want_sorted = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     got_pairs = [((r.a, r.b), r.n) for r in cv.itertuples(index=False)]
     assert got_pairs == want_sorted
+
+
+def test_retention_cohorts(ray_session):
+    """Cohort retention vs brute force."""
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.events import retention_cohorts
+
+    D = 86_400_000_000
+    rows = [(1, 0), (1, 0), (1, 1), (1, 3),        # cohort 0: offsets 0,1,3
+            (2, 1), (2, 2),                        # cohort 1: offsets 0,1
+            (3, 0), (3, 1)]                        # cohort 0: offsets 0,1
+    tbl = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([d * D + 5 for _, d in rows], pa.timestamp("us")),
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string())})
+    out = retention_cohorts(rd.from_arrow(tbl).repartition(3))
+    got = {(r.cohort_day, r.day_offset): r.n_users
+           for r in out.itertuples(index=False)}
+    assert got == {(0, 0): 2, (0, 1): 2, (0, 3): 1, (1, 0): 1, (1, 1): 1}
