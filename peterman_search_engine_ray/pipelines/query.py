@@ -874,27 +874,34 @@ class IndexReader:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         all_docs, all_scores = [], []
         for t, qtf, df in terms:
-            doc_ids, tf, dl = self.postings(t)
-            lead = np.zeros(doc_ids.size, np.int64)
-            for sr in self.term_segments(t):
-                g = sr.positions_gather(t, doc_ids, self.cfg.block_size)
-                if g is None:
-                    continue
-                docs_rep, pos = g
-                m = pos < lead_len
-                if not m.any():
-                    continue
-                dr = docs_rep[m]
-                idx = np.searchsorted(doc_ids, dr)
-                ok = (idx < doc_ids.size)
-                ok &= doc_ids[np.minimum(idx, doc_ids.size - 1)] == dr
-                np.add.at(lead, idx[ok], 1)
-            wtf = tf.astype(np.int64) + (lead_weight - 1) * lead
-            c = self._bm25_contrib(self._bm25_idf(df), wtf, dl)
+            doc_ids, c = self._bm25f_term(t, df, lead_len, lead_weight)
             all_docs.append(doc_ids)
             all_scores.append(c if qtf == 1.0 else qtf * c)
         uniq, scores = self._accumulate(all_docs, all_scores)
         return self._topk(uniq, scores, k)
+
+    def _bm25f_term(self, t: str, df: int, lead_len: int,
+                    lead_weight: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, per-doc BM25F contribution) for one term under the
+        given (possibly global) df — shared by the single reader and the
+        doc-partitioned shard actors."""
+        doc_ids, tf, dl = self.postings(t)
+        lead = np.zeros(doc_ids.size, np.int64)
+        for sr in self.term_segments(t):
+            g = sr.positions_gather(t, doc_ids, self.cfg.block_size)
+            if g is None:
+                continue
+            docs_rep, pos = g
+            m = pos < lead_len
+            if not m.any():
+                continue
+            dr = docs_rep[m]
+            idx = np.searchsorted(doc_ids, dr)
+            ok = (idx < doc_ids.size)
+            ok &= doc_ids[np.minimum(idx, doc_ids.size - 1)] == dr
+            np.add.at(lead, idx[ok], 1)
+        wtf = tf.astype(np.int64) + (lead_weight - 1) * lead
+        return doc_ids, self._bm25_contrib(self._bm25_idf(df), wtf, dl)
 
     def bm25_topk_auto(self, keywords, k: int = 10
                        ) -> tuple[np.ndarray, np.ndarray]:

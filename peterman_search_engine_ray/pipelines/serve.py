@@ -119,6 +119,26 @@ class ShardSearcher:
         d, s = self.reader._bm25_pruned_terms(tw, k, theta0)
         return d.tolist(), s.tolist()
 
+    def bm25f_local_topk(self, terms_weights, k: int, lead_len: int = 8,
+                         lead_weight: int = 2
+                         ) -> tuple[list[int], list[float]]:
+        """Shard-local BM25F top-k under GLOBAL df — doc partitioning
+        makes lead-tf (a per-doc positional fact) shard-local, so the
+        scatter/merge is exactly the bm25 shape."""
+        r = self.reader
+        docs_l, contribs_l = [], []
+        for t, qtf, gdf in terms_weights:
+            doc_ids, c = r._bm25f_term(t, gdf, lead_len, lead_weight)
+            if doc_ids.size == 0:
+                continue
+            docs_l.append(doc_ids)
+            contribs_l.append(c if qtf == 1.0 else qtf * c)
+        if not docs_l:
+            return [], []
+        uniq, scores = r._accumulate(docs_l, contribs_l)
+        d, s = r._topk(uniq, scores, k)
+        return d.tolist(), s.tolist()
+
     def bm25_local_topk_dense(self, terms_weights, k: int
                               ) -> tuple[list[int], list[float]]:
         """Unpruned exact accumulator — kept as the pruning test witness."""
@@ -183,6 +203,33 @@ class ShardedIndex:
         docs = np.concatenate([np.asarray(d, np.int64) for d, _ in outs]) \
             if outs else np.empty(0, np.int64)
         scores = np.concatenate([np.asarray(s, np.float64) for _, s in outs]) \
+            if outs else np.empty(0, np.float64)
+        return m._topk(docs, scores, k)
+
+    def bm25f_topk(self, keywords, k: int = 10, lead_len: int = 8,
+                   lead_weight: int = 2) -> tuple[np.ndarray, np.ndarray]:
+        """Global BM25F top-k: same scatter/merge as bm25_topk — lead-tf
+        is a per-doc positional fact, so each doc-partitioned shard
+        computes it locally under the fleet-global df."""
+        m = self._meta
+        toks = m.analyze_query(keywords)
+        if not toks:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        uniq_terms = sorted(set(toks))
+        partials = ray.get([s.term_df.remote(uniq_terms)
+                            for s in self.shards])
+        gdf = {t: sum(p[t] for p in partials) for t in uniq_terms}
+        tw = [(t, float(toks.count(t)), gdf[t]) for t in uniq_terms
+              if gdf[t]]
+        if not tw:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        outs = ray.get([s.bm25f_local_topk.remote(tw, k, lead_len,
+                                                  lead_weight)
+                        for s in self.shards])
+        docs = np.concatenate([np.asarray(d, np.int64) for d, _ in outs]) \
+            if outs else np.empty(0, np.int64)
+        scores = np.concatenate([np.asarray(s, np.float64)
+                                 for _, s in outs]) \
             if outs else np.empty(0, np.float64)
         return m._topk(docs, scores, k)
 

@@ -104,6 +104,11 @@ def test_sharded_serving_rank_identity(ray_session, tmp_path):
                 t2, v2 = sharded.tfidf_topk(q, k)
                 assert t1.tolist() == t2.tolist(), (q, k)
                 np.testing.assert_allclose(v1, v2, rtol=1e-12)
+                # BM25F: lead-tf is shard-local, df global
+                f1, w1 = single.bm25f_topk(q, k, lead_len=5, lead_weight=3)
+                f2, w2 = sharded.bm25f_topk(q, k, lead_len=5, lead_weight=3)
+                assert f1.tolist() == f2.tolist(), (q, k, "bm25f")
+                np.testing.assert_allclose(w1, w2, rtol=1e-12)
             for mode, fn in (("and", single.search_and),
                              ("or", single.search_or),
                              ("phrase", single.search_phrase)):
