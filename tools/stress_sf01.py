@@ -32,7 +32,10 @@ DEFAULT = ["windowed_counts", "sessionize", "props_stats",
            "host_pagerank", "hybrid_search", "fuzzy_search", "pmi_pairs",
            "keywords_per_doc", "crawl_delta", "source_dup_stats",
            "sequence_pack", "lang_confusion", "lm_quality", "dup_ngrams",
-           "dup_spans", "topic_clusters", "heavy_hitters", "bm25f_top10"]
+           "dup_spans", "topic_clusters", "heavy_hitters", "bm25f_top10",
+           "percolate", "collapsed_search", "term_vectors", "funnel",
+           "sliding_counts", "coview_pairs", "retention", "trending_terms",
+           "hits_top20", "filter_chain"]
 
 
 def main():
