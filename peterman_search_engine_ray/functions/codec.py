@@ -245,14 +245,18 @@ def decode_bitpack(buf: np.ndarray | bytes, start: int = 0,
     b = np.ascontiguousarray(b[start:start + length])
     if b.size == 0:
         return np.empty(0, np.int64)
-    # sequential header walk (group count is values/128 — tiny)
+    # sequential header walk — inherently serial (each group's size
+    # depends on its own header) but bounded at values/128 iterations;
+    # walking a bytes object is ~4x faster than np.uint8 scalar indexing
+    raw = b.tobytes()
     pos, widths, counts, pstarts, firsts = 0, [], [], [], []
-    while pos < b.size:
-        w = int(b[pos])
-        c = int(b[pos + 1]) + 1
+    size = len(raw)
+    while pos < size:
+        w = raw[pos]
+        c = raw[pos + 1] + 1
         widths.append(w)
         counts.append(c)
-        firsts.append(int.from_bytes(b[pos + 2:pos + 7].tobytes(), "little"))
+        firsts.append(int.from_bytes(raw[pos + 2:pos + 7], "little"))
         pstarts.append(pos + 7)
         pos += 7 + ((c - 1) * w + 7) // 8
     width = np.asarray(widths, np.int64)
@@ -341,10 +345,12 @@ def decode_rawpack(buf: np.ndarray | bytes, start: int = 0,
     b = np.ascontiguousarray(b[start:start + length])
     if b.size == 0:
         return np.empty(0, np.int64)
+    raw = b.tobytes()                  # bytes walk: see decode_bitpack
     pos, widths, counts, pstarts = 0, [], [], []
-    while pos < b.size:
-        w = int(b[pos])
-        c = int(b[pos + 1]) + 1
+    size = len(raw)
+    while pos < size:
+        w = raw[pos]
+        c = raw[pos + 1] + 1
         widths.append(w)
         counts.append(c)
         pstarts.append(pos + 2)

@@ -781,33 +781,49 @@ def hll_distinct_terms(ds: "ray.data.Dataset", p: int = 12) -> float:
 
 # --- inter-document duplicated n-gram fraction ------------------------------
 
+def _strict_gram_hashes(texts: list, k: int
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """STRICT k-grams over a batch (docs shorter than k tokens emit
+    nothing — unlike shingle_set's short-doc fallback, so the SQL mirror
+    is a plain generate_series window): returns (md5-lower-64 hash,
+    doc index within batch, 1-based gram position within doc) — one
+    entry per k-gram OCCURRENCE.  Shared by dup_ngram_stats and
+    dup_spans; one md5 per batch-unique gram."""
+    z = np.empty(0, np.int64)
+    flat, d = _flat_raw_tokens(texts)
+    n = len(flat)
+    if n < k:
+        return np.empty(0, np.uint64), z, z
+    w = n - k + 1
+    valid = d[:w] == d[k - 1:]
+    if not valid.any():
+        return np.empty(0, np.uint64), z, z
+    cols = [flat.slice(j, w) for j in range(k)]
+    grams = (pc.binary_join_element_wise(*cols, " ") if k > 1
+             else cols[0]).filter(pa.array(valid))
+    gd = d[:w][valid]
+    strs = np.asarray(grams.to_numpy(zero_copy_only=False), dtype=object)
+    uniq, inv = np.unique(strs, return_inverse=True)
+    h = md5_lower64_arr(uniq)[inv]            # one md5 per UNIQUE gram
+    starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+    first = np.zeros(len(texts), np.int64)
+    first[d[starts]] = starts
+    pos = np.arange(w, dtype=np.int64)[valid] - first[gd] + 1
+    return h, gd.astype(np.int64), pos
+
+
 def _gram_occ(k: int):
     """(doc_id, text) batch → one row per DISTINCT (doc, k-gram):
-    (h = md5-lower-64 of the space-joined gram, doc_id, m = multiplicity).
-    Strict k-gram semantics: docs shorter than k tokens emit nothing
-    (unlike shingle_set's short-doc fallback) so the SQL mirror is a
-    plain generate_series window."""
+    (h, doc_id, m = multiplicity)."""
     def fn(batch: pa.Table) -> pa.Table:
         empty = pa.table({"h": pa.array([], pa.uint64()),
                           "doc_id": pa.array([], pa.int64()),
                           "m": pa.array([], pa.int64())})
         if batch.num_rows == 0:
             return empty
-        flat, d = _flat_raw_tokens(batch["text"].to_pylist())
-        n = len(flat)
-        if n < k:
+        h, gd, _ = _strict_gram_hashes(batch["text"].to_pylist(), k)
+        if h.size == 0:
             return empty
-        w = n - k + 1
-        valid = d[:w] == d[k - 1:]
-        if not valid.any():
-            return empty
-        cols = [flat.slice(j, w) for j in range(k)]
-        grams = (pc.binary_join_element_wise(*cols, " ") if k > 1
-                 else cols[0]).filter(pa.array(valid))
-        gd = d[:w][valid]
-        s = np.asarray(grams.to_numpy(zero_copy_only=False), dtype=object)
-        uniq, inv = np.unique(s, return_inverse=True)
-        h = md5_lower64_arr(uniq)[inv]        # one md5 per UNIQUE gram
         doc = batch["doc_id"].to_numpy().astype(np.int64)[gd]
         # multiplicity per (doc, h): sort once, run-length collapse
         order = np.lexsort((h, doc))
@@ -890,25 +906,9 @@ def _gram_pos(k: int):
                           "g": pa.array([], pa.int64())})
         if batch.num_rows == 0:
             return empty
-        flat, d = _flat_raw_tokens(batch["text"].to_pylist())
-        n = len(flat)
-        if n < k:
+        h, gd, pos = _strict_gram_hashes(batch["text"].to_pylist(), k)
+        if h.size == 0:
             return empty
-        w = n - k + 1
-        valid = d[:w] == d[k - 1:]
-        if not valid.any():
-            return empty
-        cols = [flat.slice(j, w) for j in range(k)]
-        grams = (pc.binary_join_element_wise(*cols, " ") if k > 1
-                 else cols[0]).filter(pa.array(valid))
-        gd = d[:w][valid]
-        s = np.asarray(grams.to_numpy(zero_copy_only=False), dtype=object)
-        uniq, inv = np.unique(s, return_inverse=True)
-        h = md5_lower64_arr(uniq)[inv]
-        starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
-        first = np.zeros(len(batch["text"]), np.int64)
-        first[d[starts]] = starts
-        pos = np.arange(w, dtype=np.int64)[valid] - first[gd] + 1
         return pa.table({"h": pa.array(h, pa.uint64()),
                          "doc_id": pa.array(
                              batch["doc_id"].to_numpy().astype(np.int64)[gd]),

@@ -379,6 +379,10 @@ def sliding_counts(events_ds: "ray.data.Dataset",
                 ["event_type", "win_us"], num_parts)
            .map_batches(combine, batch_format="pyarrow")
            .to_pandas())
+    if not len(out):          # zero-row to_pandas() is columns-less
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "win_us": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64)})
     out["win_us"] = out["win_us"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return (out.sort_values(["event_type", "win_us"])
@@ -406,6 +410,14 @@ def coview_pairs(events_ds: "ray.data.Dataset", k: int = 20,
         items = np.fromiter((int(json.loads(pr)["k"])
                              for pr in batch["props"].to_pylist()),
                             dtype=np.int64, count=batch.num_rows)
+        # the 32/32 pack is only sound inside these ranges — raise like
+        # the codecs do rather than silently corrupt both fields
+        if items.size and (int(items.min()) < 0
+                           or int(items.max()) >= (1 << 32)
+                           or int(users.max(initial=0)) >= (1 << 31)
+                           or int(users.min(initial=0)) < 0):
+            raise ValueError("coview pack needs 0 <= item < 2^32 and "
+                             "0 <= user < 2^31")
         key = (users << 32) | items
         uniq = np.unique(key)
         return pa.table({"user_id": pa.array(uniq >> 32),
@@ -419,8 +431,7 @@ def coview_pairs(events_ds: "ray.data.Dataset", k: int = 20,
     partials = ui.map_batches(
         make_pair_emitter(["user_id"], max_group, label="coview",
                           count_col="inter_part"), batch_format="pyarrow")
-    from .shuffle import hash_partition as _hp
-    counts = (_hp(partials, ["a", "b"], num_parts)
+    counts = (hash_partition(partials, ["a", "b"], num_parts)
               .map_batches(_sum_pairs_block, batch_format="pyarrow")
               .to_pandas())
     if counts.empty:
@@ -459,8 +470,15 @@ def retention_cohorts(events_ds: "ray.data.Dataset",
         if batch.num_rows == 0:
             return pa.table({"user_id": pa.array([], pa.int64()),
                              "day": pa.array([], pa.int64())})
-        key = (batch["user_id"].to_numpy().astype(np.int64) << 20) \
-            | (_ts_us(batch) // day_us)
+        users = batch["user_id"].to_numpy().astype(np.int64)
+        days = _ts_us(batch) // day_us
+        if users.size and (int(users.min()) < 0
+                           or int(users.max()) >= (1 << 43)
+                           or int(days.min()) < 0
+                           or int(days.max()) >= (1 << 20)):
+            raise ValueError("retention pack needs 0 <= user < 2^43 and "
+                             "0 <= ts-day < 2^20 (~year 4840)")
+        key = (users << 20) | days
         uniq = np.unique(key)
         return pa.table({"user_id": pa.array(uniq >> 20),
                          "day": pa.array(uniq & ((1 << 20) - 1))})

@@ -117,13 +117,22 @@ def _count_ds(rows: "ray.data.Dataset", col: str,
 def _unique_log_ratio(c2: np.ndarray, c1: np.ndarray, V: int) -> np.ndarray:
     """log((c2+1)/(c1+V)) through libm on the UNIQUE (c2, c1) pairs —
     bit-identical to DuckDB ``ln`` (both call the C library log)."""
-    key = (c2.astype(np.int64) << 32) | c1.astype(np.int64)
-    uniq, inv = np.unique(key, return_inverse=True)
-    uc2, uc1 = (uniq >> 32).astype(np.float64), \
-        (uniq & 0xFFFFFFFF).astype(np.int64)
+    c2 = c2.astype(np.int64)
+    c1 = c1.astype(np.int64)
+    if c2.size and (int(c1.max()) < (1 << 32) and int(c2.max()) < (1 << 31)):
+        key = (c2 << 32) | c1
+        uniq, inv = np.unique(key, return_inverse=True)
+        uc2 = (uniq >> 32).astype(np.int64)
+        uc1 = (uniq & 0xFFFFFFFF).astype(np.int64)
+    else:
+        # web-scale counts can exceed the 32/32 pack (a hot unigram at
+        # 10^12 tokens): fall back to 2-column unique, same semantics
+        pair = np.stack([c2, c1], axis=1)
+        upair, inv = np.unique(pair, axis=0, return_inverse=True)
+        uc2, uc1 = upair[:, 0], upair[:, 1]
     vals = np.fromiter(
         (math.log((c + 1.0) / float(d + V)) for c, d in zip(uc2, uc1)),
-        np.float64, count=uniq.size)
+        np.float64, count=uc2.size)
     return vals[inv]
 
 

@@ -86,7 +86,11 @@ def percolate(docs: "ray.data.Dataset",
     would use, so registration and matching can't drift."""
     from ..functions.analysis import get_analyzer
     a = get_analyzer(analyzer)
-    analyzed = [(int(qid), mode, a(" ".join(terms)))
+    # analyze PER KEYWORD — a space-joined string derails word-break
+    # analyzers (whose dictionaries have no space token); same fix as
+    # IndexReader.analyze_query (query.py)
+    analyzed = [(int(qid), mode,
+                 [tok for term in terms for tok in a(term)])
                 for qid, mode, terms in stored]
     qref = ray.put(analyzed)
     return docs.map_batches(_match_block(qref, analyzer),
