@@ -123,6 +123,12 @@ def main() -> None:
         dt = time.perf_counter() - t0
         t_build = dt if t_build is None else min(t_build, dt)
     n_docs = manifest["n_docs"]
+    # index footprint: at 100 TB the postings bytes are the IO bill, so
+    # the artifact records them alongside the time
+    seg_dir = os.path.join(idx, "segments")
+    index_mb = round(sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(seg_dir) for f in fs) / 1e6, 1)
 
     if os.environ.get("GRAFT_BUILD_ONLY") == "1":
         print(json.dumps({
@@ -131,6 +137,7 @@ def main() -> None:
             "sf": sf_dir, "num_cpus": ncpu, "docs": n_docs,
             "replicate": replicate,
             "docs_per_sec": round(n_docs / t_build, 1),
+            "index_mb": index_mb,
             "n_segments": len(manifest["segments"])}))
         ray.shutdown()
         return
@@ -203,6 +210,7 @@ def main() -> None:
         "sf": sf_dir, "num_cpus": ncpu,
         "docs": n_docs, "replicate": replicate,
         "docs_per_sec": round(n_docs / t_build, 1),
+        "index_mb": index_mb,
         "n_segments": len(manifest["segments"]),
     }))
     ray.shutdown()
