@@ -318,8 +318,11 @@ class IndexReader:
                 return np.empty(0, np.int64)
             for t in toks:
                 lists.append(self.postings(t)[0])
-        return reduce(lambda a, b: np.intersect1d(a, b, assume_unique=True),
-                      sorted(lists, key=len))
+        # postings doc_ids are sorted (disjoint ascending segment ranges):
+        # merge-intersect smallest-first — np.intersect1d re-sorts the
+        # concatenation even with assume_unique (measured ~28 ms/query on
+        # dense 800k-doc postings)
+        return reduce(self._sorted_intersect, sorted(lists, key=len))
 
     def search_or(self, keywords: list[str]) -> np.ndarray:
         lists = []
