@@ -175,6 +175,9 @@ def main() -> None:
     phrase_p50 = _mode_p50(lambda w: reader.search_phrase(w[:2]), 25)
     near_p50 = _mode_p50(lambda w: reader.search_near(w[:2], window=3), 25)
     tfidf_p50 = _mode_p50(lambda w: reader.tfidf_topk(w, 10))
+    for w in vocab:                 # warm the lead-count cache
+        reader.bm25f_topk([w], 10)
+    bm25f_p50 = _mode_p50(lambda w: reader.bm25f_topk(w, 10))
 
     import ray.data as rd
     qds = rd.from_items([{"query_id": i, "query": q, "k": 10,
@@ -203,6 +206,7 @@ def main() -> None:
             "query_pool_500_sec": round(t_qpool, 2),
             "query_pool_qps": round(n_res / t_qpool, 1),
             "and_p50_ms": and_p50,
+            "bm25f_p50_ms": bm25f_p50,
             "phrase_p50_ms": phrase_p50,
             "near_p50_ms": near_p50,
             "tfidf_p50_ms": tfidf_p50,
