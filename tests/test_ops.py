@@ -1106,3 +1106,31 @@ def test_retention_cohorts(ray_session):
     got = {(r.cohort_day, r.day_offset): r.n_users
            for r in out.itertuples(index=False)}
     assert got == {(0, 0): 2, (0, 1): 2, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_langid_trained(ray_session):
+    """Trained trigram profiles separate distinct scripts/languages; the
+    confusion diagonal dominates, and the packed-key order matches
+    string order for 3-char grams."""
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.langid import (_key_to_str,
+                                                          _tri_keys,
+                                                          langid_confusion)
+    # packed order == lexicographic order for 3-char strings
+    ks = _tri_keys("abcXyz日本語x")
+    strs = ["abcXyz日本語x"[i:i + 3] for i in range(len("abcXyz日本語x") - 2)]
+    order_k = np.argsort(ks).tolist()
+    order_s = sorted(range(len(strs)), key=lambda i: strs[i])
+    assert order_k == order_s
+    assert _key_to_str(int(ks[0])) == "abc"
+
+    en = ["the quick brown fox jumps over the lazy dog"] * 8
+    ja = ["日本語のテキストです。形態素解析が必要です。"] * 8
+    texts = en + ja
+    langs = ["en"] * 8 + ["ja"] * 8
+    tbl = pa.table({"doc_id": pa.array(np.arange(16, dtype=np.int64)),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string())})
+    out = langid_confusion(rd.from_arrow(tbl).repartition(3), k=20)
+    got = {(r.lang, r.lang_pred): r.n for r in out.itertuples(index=False)}
+    assert got == {("en", "en"): 8, ("ja", "ja"): 8}
