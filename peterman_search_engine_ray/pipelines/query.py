@@ -875,8 +875,10 @@ class IndexReader:
         (integer for integer weights, so the score expression keeps
         bm25_topk's float discipline and the SQL oracle reproduces it
         bit-for-bit); dl normalization stays unweighted, matching the
-        simple-BM25F variant.  lead_tf comes from the same candidate-only
-        position gather the phrase path uses — no full position decode."""
+        simple-BM25F variant.  lead_tf comes from one whole-stream bulk
+        position decode per term, LRU-cached per (term, lead_len) —
+        the candidate set is the full posting list, where the phrase
+        path's per-candidate gather loses to a single vectorized pass."""
         if not self.cfg.positional:
             raise NotImplementedError("BM25F needs a positional index")
         terms = self._query_weights(keywords)
@@ -1132,6 +1134,7 @@ class IndexReader:
         self._tomb_cache = None
         self._post_cache.clear()
         self._contrib_cache.clear()
+        self._lead_cache.clear()
         getattr(self, "_tfidf_cache", {}).clear()
         getattr(self, "_phrase_key_cache", {}).clear()
         return len(cur)

@@ -781,7 +781,7 @@ def hll_distinct_terms(ds: "ray.data.Dataset", p: int = 12) -> float:
 
 # --- inter-document duplicated n-gram fraction ------------------------------
 
-def _strict_gram_hashes(texts: list, k: int
+def _strict_gram_hashes(texts: list, k: int, compute_pos: bool = True
                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """STRICT k-grams over a batch (docs shorter than k tokens emit
     nothing — unlike shingle_set's short-doc fallback, so the SQL mirror
@@ -805,6 +805,8 @@ def _strict_gram_hashes(texts: list, k: int
     strs = np.asarray(grams.to_numpy(zero_copy_only=False), dtype=object)
     uniq, inv = np.unique(strs, return_inverse=True)
     h = md5_lower64_arr(uniq)[inv]            # one md5 per UNIQUE gram
+    if not compute_pos:                       # dup_ngram_stats discards it
+        return h, gd.astype(np.int64), z
     starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
     first = np.zeros(len(texts), np.int64)
     first[d[starts]] = starts
@@ -821,7 +823,8 @@ def _gram_occ(k: int):
                           "m": pa.array([], pa.int64())})
         if batch.num_rows == 0:
             return empty
-        h, gd, _ = _strict_gram_hashes(batch["text"].to_pylist(), k)
+        h, gd, _ = _strict_gram_hashes(batch["text"].to_pylist(), k,
+                                       compute_pos=False)
         if h.size == 0:
             return empty
         doc = batch["doc_id"].to_numpy().astype(np.int64)[gd]

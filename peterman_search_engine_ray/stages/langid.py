@@ -55,7 +55,7 @@ def _count_block(batch: pa.Table) -> pa.Table:
     df = pd.DataFrame({"lang": batch["lang"].to_pylist(),
                        "text": batch["text"].to_pylist()})
     for lang, grp in df.groupby("lang", sort=False):
-        ks = [k for t in grp["text"] for k in (_tri_keys(t or ""),)]
+        ks = [_tri_keys(t or "") for t in grp["text"]]
         allk = np.concatenate(ks) if ks else np.empty(0, np.int64)
         if allk.size == 0:
             continue
