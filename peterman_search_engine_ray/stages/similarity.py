@@ -301,3 +301,48 @@ class IvfAnnIndex:
         cos = np.concatenate(cos_l)
         sel = np.lexsort((ids, -cos))[:k]
         return ids[sel], cos[sel]
+
+
+def knn_candidates(emb_ds: "ray.data.Dataset", k: int = 3, slack: int = 4,
+                   id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> pd.DataFrame:
+    """k-nearest-neighbor GRAPH candidates (the building block for
+    kNN-graph clustering / graph-based dedup): for every vector, its
+    per-block-pair top-(k+slack) cosine neighbors, as a block-nested-loop
+    over the Dataset's own block refs — no driver matrix, no broadcast of
+    the table; O(B²) tasks of one (block × block) matmul each (the IVF
+    index is the pruned path when B grows).  The caller finishes with an
+    exact re-rank of the ≤ (k+slack)·B candidates per row (slack absorbs
+    float-vs-canonical cosine ULP differences at the cut)."""
+    import ray as _ray
+
+    from .dedup import _block_to_mat
+    kk = k + slack
+
+    @_ray.remote
+    def block_knn(ta: pa.Table, tb: pa.Table, same: bool) -> pd.DataFrame:
+        aid, A = _block_to_mat(ta, id_col, emb_col)
+        bid, B = _block_to_mat(tb, id_col, emb_col)
+        cos = A @ B.T
+        if same:
+            cos[aid[:, None] == bid[None, :]] = -np.inf   # no self edge
+        out = []
+        for (sid, did, C) in (((aid, bid, cos),) if same
+                              else ((aid, bid, cos), (bid, aid, cos.T))):
+            kx = min(kk, C.shape[1])
+            part = np.argpartition(-C, kx - 1, axis=1)[:, :kx]
+            src = np.repeat(sid, kx)
+            dst = did[part.ravel()]
+            keep = np.isfinite(np.take_along_axis(C, part, axis=1).ravel())
+            out.append(pd.DataFrame({"src": src[keep], "dst": dst[keep]}))
+        return pd.concat(out, ignore_index=True)
+
+    refs = emb_ds.select_columns([id_col, emb_col]).to_arrow_refs()
+    futures = [block_knn.remote(refs[i], refs[j], i == j)
+               for i in range(len(refs)) for j in range(i, len(refs))]
+    outs = [o for o in _ray.get(futures) if len(o)]
+    if not outs:
+        return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                             "dst": pd.Series([], dtype=np.int64)})
+    out = pd.concat(outs, ignore_index=True).drop_duplicates()
+    return out.astype(np.int64).reset_index(drop=True)

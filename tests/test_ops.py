@@ -1134,3 +1134,28 @@ def test_langid_trained(ray_session):
     out = langid_confusion(rd.from_arrow(tbl).repartition(3), k=20)
     got = {(r.lang, r.lang_pred): r.n for r in out.itertuples(index=False)}
     assert got == {("en", "en"): 8, ("ja", "ja"): 8}
+
+
+def test_knn_candidates(ray_session):
+    """Block-nested-loop kNN candidates contain the true top-k of every
+    row (brute-force check), across multiple blocks."""
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.similarity import knn_candidates
+
+    rng = np.random.RandomState(9)
+    n, dim, k = 120, 8, 3
+    M = rng.randn(n, dim)
+    tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array([r.tolist() for r in M],
+                                          pa.list_(pa.float64()))})
+    cand = knn_candidates(rd.from_arrow(tbl).repartition(5), k=k)
+    got = {}
+    for r in cand.itertuples(index=False):
+        got.setdefault(r.src, set()).add(r.dst)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = Mn @ Mn.T
+    np.fill_diagonal(cos, -np.inf)
+    for i in range(n):
+        true_top = set(np.argsort(-cos[i])[:k].tolist())
+        assert true_top <= got[i], i          # candidates cover true kNN
+        assert i not in got[i]                # no self edges
