@@ -35,7 +35,8 @@ DEFAULT = ["windowed_counts", "sessionize", "props_stats",
            "dup_spans", "topic_clusters", "heavy_hitters", "bm25f_top10",
            "percolate", "collapsed_search", "term_vectors", "funnel",
            "sliding_counts", "coview_pairs", "retention", "trending_terms",
-           "hits_top20", "filter_chain", "langid_trained"]
+           "hits_top20", "filter_chain", "langid_trained", "knn_graph",
+           "batch_ann"]
 
 
 def main():
