@@ -109,3 +109,30 @@ def test_naive_codec_reference_parity():
     assert enc is encode_naive and dec is decode_naive
     with pytest.raises(ValueError):
         get_codec("nope")
+
+
+@given(st.lists(st.lists(st.integers(0, 2**40 - 1), min_size=0,
+                         max_size=300), min_size=1, max_size=6))
+def test_rawpack_roundtrip_property(lists):
+    """Frame-of-reference packing (no delta — the tf section's codec):
+    whole-stream and per-list byte-range decodes round-trip."""
+    arrs = [np.asarray(xs, np.int64) for xs in lists]
+    vals = (np.concatenate(arrs) if any(len(a) for a in arrs)
+            else np.empty(0, np.int64))
+    offs = np.concatenate(
+        ([0], np.cumsum([len(a) for a in arrs]))).astype(np.int64)
+    buf, vbo = codec.encode_rawpack(vals, offs)
+    out = codec.decode_rawpack(buf, 0, len(buf))
+    assert np.array_equal(out, vals)
+    lbo = codec.list_byte_offsets(vbo, offs)
+    for i, want in enumerate(arrs):
+        got = codec.decode_rawpack(buf, int(lbo[i]),
+                                   int(lbo[i + 1] - lbo[i]))
+        assert np.array_equal(got, want), i
+
+
+def test_rawpack_rejects_out_of_range():
+    with pytest.raises(ValueError):
+        codec.encode_rawpack(np.array([-1], np.int64))
+    with pytest.raises(ValueError):
+        codec.encode_rawpack(np.array([1 << 40], np.int64))
