@@ -25,7 +25,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 
 def synth_edges(doc_ids: np.ndarray, hub_fraction: int = 7) -> pa.Table:
@@ -42,6 +41,63 @@ def synth_edges(doc_ids: np.ndarray, hub_fraction: int = 7) -> pa.Table:
     dst = np.concatenate([ids[d1], ids[d2], np.full(hub.sum(), ids[0])])
     keep = src != dst
     return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+
+def synth_edges_ds(docs_ds: "ray.data.Dataset", hub_fraction: int = 7
+                   ) -> "ray.data.Dataset":
+    """Distributed twin of :func:`synth_edges`: generates the identical
+    edge list MAP-SIDE over the ``doc_id`` blocks — the corpus-wide id
+    column never reaches the driver.  Requires DENSE doc_ids (the engine
+    guarantee: ``read_webpages`` assigns dense ids from parquet footers),
+    verified by an O(1) (count, min, max) aggregate; with dense ids the
+    edge rule is pure per-id arithmetic (``idx = id - lo``,
+    ``ids[x] = lo + x``), so generation is a zero-shuffle ``map_batches``.
+    Raises loudly on non-dense ids rather than silently gathering them."""
+    from ray.data.aggregate import Count, Max, Min
+    ids = docs_ds.select_columns(["doc_id"])
+    st = ids.aggregate(Count(), Min("doc_id"), Max("doc_id"))
+    n, lo, hi = int(st["count()"]), int(st["min(doc_id)"]), \
+        int(st["max(doc_id)"])
+    if n == 0 or hi - lo + 1 != n:
+        raise ValueError(
+            f"synth_edges_ds requires dense doc_ids (got n={n}, "
+            f"range [{lo},{hi}]); read_webpages-built corpora are dense")
+
+    def edges(batch: pa.Table) -> pa.Table:
+        i = batch["doc_id"].to_numpy().astype(np.int64)
+        idx = i - lo
+        d1 = lo + (idx * 7 + 3) % n
+        d2 = lo + (idx * 13 + 5) % n
+        hub = idx % hub_fraction == 1
+        src = np.concatenate([i, i, i[hub]])
+        dst = np.concatenate([d1, d2,
+                              np.full(int(hub.sum()), lo, np.int64)])
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep], pa.int64()),
+                         "dst": pa.array(dst[keep], pa.int64())})
+
+    return ids.map_batches(edges, batch_format="pyarrow")
+
+
+def _node_stats(edges_ds: "ray.data.Dataset"
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted node ids, out-degree per node) via map-side per-batch
+    ``np.unique`` partials + one node-scale driver combine — no shuffle.
+    Dst-only nodes appear with out-degree 0."""
+    def partial(batch: pa.Table) -> pa.Table:
+        sv, sc = np.unique(batch["src"].to_numpy(), return_counts=True)
+        dv = np.unique(batch["dst"].to_numpy())
+        return pa.table({
+            "node": pa.array(np.concatenate([sv, dv]), pa.int64()),
+            "deg": pa.array(np.concatenate(
+                [sc.astype(np.int64), np.zeros(dv.size, np.int64)]))})
+    p = edges_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(p) == 0:
+        return np.array([], np.int64), np.array([], np.float64)
+    nodes, inv = np.unique(p["node"].to_numpy(), return_inverse=True)
+    outdeg = np.zeros(nodes.size, np.int64)
+    np.add.at(outdeg, inv, p["deg"].to_numpy())
+    return nodes, outdeg.astype(np.float64)
 
 
 def _prep(edges: pd.DataFrame):
@@ -131,21 +187,26 @@ def pagerank_weighted(edges: pd.DataFrame, num_iterations: int = 100,
 
 
 def pagerank_ray(edges_ds: "ray.data.Dataset", num_iterations: int = 100,
-                 damping: float = 0.85) -> pd.DataFrame:
-    """Distributed iteration: per iteration ONE numpy weight vector is
-    broadcast (``ray.put`` of a float64 array + the sorted node-id array
-    put once), each batch maps src→weight via searchsorted, and a
-    ``groupby(dst).sum`` shuffle accumulates in-flows.  Driver state is
-    node-scale numpy arrays — no per-iteration Python dicts.  Output
-    identical to pagerank_numpy (asserted in tests)."""
-    deg = (edges_ds.groupby("src").count().to_pandas()
-           .rename(columns={"count()": "outdeg"}))
-    dsts = edges_ds.groupby("dst").count().to_pandas()
-    nodes = np.unique(np.concatenate([deg["src"].to_numpy(),
-                                      dsts["dst"].to_numpy()]))
-    outdeg = np.zeros(nodes.size, np.float64)
-    outdeg[np.searchsorted(nodes, deg["src"].to_numpy())] = \
-        deg["outdeg"].to_numpy()
+                 damping: float = 0.85,
+                 num_parts: int | None = None) -> pd.DataFrame:
+    """Distributed iteration with ONE shuffle total: edges hash-partition
+    by ``dst`` once (every dst group wholly in one block) and materialize;
+    each iteration is then a MAP-ONLY job — the weight vector broadcasts
+    via ``ray.put``, each block bincounts its local dst in-flows, and the
+    driver gathers ≤ |nodes| (dst, sum) rows.  The old shape shuffled per
+    iteration (20 iterations = 20 ``groupby().sum`` exchanges); this does
+    the exchange once and streams the rest.  Driver state is node-scale
+    numpy arrays.  Output identical to pagerank_numpy (asserted in
+    tests)."""
+    from ..stages.shuffle import hash_partition
+    nodes, outdeg = _node_stats(edges_ds)
+    if nodes.size == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    n_parts = num_parts or min(16, max(4, cpus))
+    parts = hash_partition(edges_ds, ["dst"], n_parts).materialize()
     nodes_ref = ray.put(nodes)                 # broadcast ONCE
     prev = np.ones(nodes.size, np.float64)
 
@@ -153,21 +214,24 @@ def pagerank_ray(edges_ds: "ray.data.Dataset", num_iterations: int = 100,
         def contrib(batch: pa.Table) -> pa.Table:
             ns = ray.get(nodes_ref)
             wv = ray.get(w_ref)
-            idx = np.searchsorted(ns, batch["src"].to_numpy())
-            return pa.table({"dst": batch["dst"],
-                             "w": pa.array(wv[idx], pa.float64())})
+            si = np.searchsorted(ns, batch["src"].to_numpy())
+            dv, inv = np.unique(batch["dst"].to_numpy(),
+                                return_inverse=True)
+            sums = np.bincount(inv, weights=wv[si], minlength=dv.size)
+            return pa.table({"dst": pa.array(dv, pa.int64()),
+                             "s": pa.array(sums, pa.float64())})
         return contrib
 
     safe_deg = np.where(outdeg > 0, outdeg, 1.0)
     for _ in range(num_iterations):
         w_ref = ray.put(prev / safe_deg)
-        sums = (edges_ds.map_batches(contrib_fn(w_ref),
-                                     batch_format="pyarrow")
-                        .groupby("dst").aggregate(Sum("w", alias_name="s"))
-                        .to_pandas())
+        sums = (parts.map_batches(contrib_fn(w_ref),
+                                  batch_format="pyarrow").to_pandas())
         incoming = np.zeros(nodes.size, np.float64)
-        incoming[np.searchsorted(nodes, sums["dst"].to_numpy())] = \
-            sums["s"].to_numpy()
+        if len(sums):
+            np.add.at(incoming,
+                      np.searchsorted(nodes, sums["dst"].to_numpy()),
+                      sums["s"].to_numpy())
         prev = (1 - damping) + damping * incoming
 
     out = pd.DataFrame({"node": nodes, "score": prev})
@@ -208,37 +272,49 @@ def hits_numpy(edges: pd.DataFrame, iters: int = 2) -> pd.DataFrame:
     return pd.DataFrame({"node": nodes, "authority": a, "hub": h})
 
 
-def hits_ray(edges_ds: "ray.data.Dataset", iters: int = 2) -> pd.DataFrame:
-    """Distributed HITS (hubs & authorities) over the edge Dataset, same
-    exchange shape as :func:`pagerank_ray`: the score vector broadcasts
-    once per half-step (``ray.put`` of an int64 array), each batch maps
-    endpoint→score via searchsorted, and a ``groupby().sum`` shuffle
-    accumulates — O(nodes) driver state, edges never leave the Dataset.
-    Integer arithmetic throughout (see hits_numpy), so the SQL oracle is
-    exact."""
-    from ray.data.aggregate import Sum
-    deg = edges_ds.groupby("src").count().to_pandas()
-    dsts = edges_ds.groupby("dst").count().to_pandas()
-    nodes = np.unique(np.concatenate([deg["src"].to_numpy(),
-                                      dsts["dst"].to_numpy()]))
+def hits_ray(edges_ds: "ray.data.Dataset", iters: int = 2,
+             num_parts: int | None = None) -> pd.DataFrame:
+    """Distributed HITS (hubs & authorities) with the same
+    partition-once shape as :func:`pagerank_ray`: edges hash-partition by
+    ``dst`` and by ``src`` ONCE (one exchange each, materialized), then
+    every half-step is a map-only job — the score vector broadcasts via
+    ``ray.put``, each block accumulates its local to-node sums in exact
+    int64 (``np.add.at``, never float bincount — web-scale authority sums
+    exceed 2^53), and the driver gathers ≤ |nodes| rows.  Integer
+    arithmetic throughout (see hits_numpy), so the SQL oracle is exact."""
+    from ..stages.shuffle import hash_partition
+    nodes, _ = _node_stats(edges_ds)
+    if nodes.size == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "authority": pd.Series([], dtype=np.int64),
+                             "hub": pd.Series([], dtype=np.int64)})
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    n_parts = num_parts or min(16, max(4, cpus))
+    by = {"dst": hash_partition(edges_ds, ["dst"], n_parts).materialize(),
+          "src": hash_partition(edges_ds, ["src"], n_parts).materialize()}
     nodes_ref = ray.put(nodes)
 
     def pull(from_col: str, to_col: str, w_ref):
         def fn(batch: pa.Table) -> pa.Table:
             ns, wv = ray.get(nodes_ref), ray.get(w_ref)
-            idx = np.searchsorted(ns, batch[from_col].to_numpy())
-            return pa.table({to_col: batch[to_col],
-                             "w": pa.array(wv[idx], pa.int64())})
+            fi = np.searchsorted(ns, batch[from_col].to_numpy())
+            tv, inv = np.unique(batch[to_col].to_numpy(),
+                                return_inverse=True)
+            sums = np.zeros(tv.size, np.int64)
+            np.add.at(sums, inv, wv[fi])
+            return pa.table({to_col: pa.array(tv, pa.int64()),
+                             "s": pa.array(sums, pa.int64())})
         return fn
 
     def half_step(from_col: str, to_col: str, w: np.ndarray) -> np.ndarray:
-        sums = (edges_ds.map_batches(pull(from_col, to_col, ray.put(w)),
-                                     batch_format="pyarrow")
-                .groupby(to_col).aggregate(Sum("w", alias_name="s"))
+        sums = (by[to_col].map_batches(pull(from_col, to_col, ray.put(w)),
+                                       batch_format="pyarrow")
                 .to_pandas())
         out = np.zeros(nodes.size, np.int64)
-        out[np.searchsorted(nodes, sums[to_col].to_numpy())] = \
-            sums["s"].to_numpy().astype(np.int64)
+        if len(sums):
+            np.add.at(out, np.searchsorted(nodes, sums[to_col].to_numpy()),
+                      sums["s"].to_numpy().astype(np.int64))
         return out
 
     h = np.ones(nodes.size, np.int64)

@@ -152,6 +152,30 @@ def test_embedding_neardup_and_ann(ray_session):
     assert 10 in ids[:2] and 50 in ids[:2]
 
 
+def test_synth_edges_ds(ray_session):
+    """Map-side distributed edge generation == the driver-side rule on
+    dense ids (sorted edge multiset identity), and refuses non-dense ids
+    loudly instead of silently gathering the corpus to the driver."""
+    import ray.data as rd
+    from peterman_search_engine_ray.pipelines.pagerank import (
+        synth_edges, synth_edges_ds)
+    ids = np.arange(37, dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids)})).repartition(4)
+    got = synth_edges_ds(docs).to_pandas()
+    want = synth_edges(ids).to_pandas()
+    key = lambda df: df.sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(got), key(want))
+    # dense-but-shifted ids also work (lo != 0)
+    docs2 = rd.from_arrow(pa.table({"doc_id": pa.array(ids + 100)}))
+    got2 = synth_edges_ds(docs2).to_pandas()
+    want2 = synth_edges(ids + 100).to_pandas()
+    pd.testing.assert_frame_equal(key(got2), key(want2))
+    sparse = rd.from_arrow(pa.table({"doc_id": pa.array([0, 2, 5],
+                                                        pa.int64())}))
+    with pytest.raises(ValueError, match="dense"):
+        synth_edges_ds(sparse)
+
+
 def test_pagerank(ray_session):
     import ray.data as rd
     from peterman_search_engine_ray.pipelines.pagerank import (
