@@ -1,0 +1,208 @@
+"""k-gram + reversed-term dictionaries: index-probe wildcard discovery.
+
+The reference discovers wildcard/regex terms by scanning the whole segment
+dictionary (SegmentInDiskManager.java:259-279 walks every term); the repo's
+earlier `_vocab_match_search` ran the predicate map-side over the distributed
+vocabulary — distributed, but still a vocab-scale scan per query.  At a
+100-TB vocabulary (10^8-10^9 terms), every wildcard search re-reading all
+terms is the op users hit; the classic fix (Manning IR §3.2) is a k-gram
+term dictionary: every vocabulary term ``t`` contributes the boundary-marked
+bigrams of ``^t$`` to postings ``gram -> [terms]``, and a pattern probes ONLY
+its own grams' postings, intersects the term lists, and exact-filters the
+candidate-scale remainder.
+
+Artifacts (built once per index, Ray-Data pipelines end-to-end, stored under
+``<index_dir>/termdict/`` behind a manifest):
+
+* ``kgram/b=<bucket>/``  — (gram, term) parquet, hash-bucketed by gram so a
+  probe reads only its grams' buckets (partition pruning) with a gram
+  row-filter inside (row-group pruning; files are written gram-sorted).
+* ``rev/b=<bucket>/``    — (rterm, term) parquet, terms stored reversed and
+  bucketed by the reversed first character: a ``*ow`` suffix query becomes a
+  PREFIX range probe on ``rterm`` — one bucket, one contiguous range.
+
+Probe cost is grams-probed postings + candidate terms, never the vocabulary;
+:func:`kgram_candidates` / :func:`suffix_candidates` report exact read
+counters so tests can assert scan-freedom (posting_rows_read < |vocab|).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..state import manifest as mf
+
+KGRAM_K = 2          # boundary-marked bigrams: shortest probe-able literal = 1
+                     # anchored char or 2 free chars
+NUM_BUCKETS = 16
+_MAX_TERM_LEN = 64   # grams beyond this prefix are dropped (terms this long
+                     # are noise; the exact post-filter still applies)
+
+
+def gram_bucket(gram: str, num_buckets: int = NUM_BUCKETS) -> int:
+    """Deterministic bucket for a gram — md5-low-64, stable across
+    processes (never Python hash())."""
+    d = hashlib.md5(gram.encode("utf-8")).digest()
+    return int.from_bytes(d[8:], "little") % num_buckets
+
+
+def literal_grams(lit: str) -> list[str]:
+    """Sliding k-grams of a (possibly ^/$-anchored) pattern literal.
+    Returns [] when the literal is too short to yield one gram — callers
+    must then fall back to a wider probe."""
+    return [lit[i:i + KGRAM_K] for i in range(len(lit) - KGRAM_K + 1)]
+
+
+def _explode_grams(batch: pa.Table) -> pa.Table:
+    """Vectorized term -> (gram, term) fan-out: decorate ``^t$``, slice
+    every bigram offset with one Arrow kernel per offset (codepoint
+    semantics, identical to Python slicing), distinct per batch."""
+    terms = pc.unique(batch["term"].combine_chunks())
+    dec = pc.binary_join_element_wise(
+        pa.array(["^"] * len(terms)), terms.cast(pa.string()),
+        pa.array(["$"] * len(terms)), "")
+    max_len = min(_MAX_TERM_LEN + 2,
+                  int(pc.max(pc.utf8_length(dec)).as_py() or 0))
+    parts = []
+    for i in range(max(0, max_len - KGRAM_K + 1)):
+        g = pc.utf8_slice_codeunits(dec, i, i + KGRAM_K)
+        keep = pc.equal(pc.utf8_length(g), KGRAM_K)
+        t = pa.table({"gram": g, "term": terms}).filter(keep)
+        if t.num_rows:
+            parts.append(t)
+    if not parts:
+        return pa.table({"gram": pa.array([], pa.string()),
+                         "term": pa.array([], pa.string()),
+                         "b": pa.array([], pa.int64())})
+    out = (pa.concat_tables(parts)
+           .group_by(["gram", "term"]).aggregate([]))
+    grams = out["gram"].combine_chunks()
+    uniq = pc.unique(grams)
+    bmap = {g: gram_bucket(g) for g in uniq.to_pylist()}
+    b = pc.index_in(grams, uniq).to_numpy(zero_copy_only=False)
+    bvals = np.array([bmap[g] for g in uniq.to_pylist()], np.int64)
+    return out.append_column("b", pa.array(bvals[b], pa.int64()))
+
+
+def _explode_rev(batch: pa.Table) -> pa.Table:
+    terms = pc.unique(batch["term"].combine_chunks()).cast(pa.string())
+    r = pc.utf8_reverse(terms)
+    first = pc.utf8_slice_codeunits(r, 0, 1)
+    uniq = pc.unique(first)
+    bmap = {c: gram_bucket(c) for c in uniq.to_pylist()}
+    idx = pc.index_in(first, uniq).to_numpy(zero_copy_only=False)
+    bvals = np.array([bmap[c] for c in uniq.to_pylist()], np.int64)
+    return pa.table({"rterm": r, "term": terms,
+                     "b": pa.array(bvals[idx], pa.int64())})
+
+
+def _sorted_block(key: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        # distinct (a term appears in several segment dirs) + key-sorted so
+        # parquet row-group min/max stats prune inside a bucket
+        out = batch.group_by(batch.column_names).aggregate([])
+        return out.sort_by([(key, "ascending")])
+    return fn
+
+
+def build_term_dicts(dir_files: list[str], out_dir: str,
+                     num_buckets: int = NUM_BUCKETS) -> str:
+    """Build both dictionaries from the index's segment term directories
+    (column-pruned (term) read — the postings never move).  One keyed
+    exchange each (hash-partition by bucket), bucket-partitioned parquet
+    out; atomic via manifest-last.  Idempotent per input fingerprint."""
+    from .shuffle import hash_partition
+    mpath = os.path.join(out_dir, "MANIFEST.json")
+    fp = mf.input_fingerprint(sorted(dir_files))
+    if mf.manifest_valid(mpath, fp):
+        return out_dir
+    import shutil
+    vocab = ray.data.read_parquet(dir_files, columns=["term"])
+    for sub, explode, key in (("kgram", _explode_grams, "gram"),
+                              ("rev", _explode_rev, "rterm")):
+        d = os.path.join(out_dir, sub)
+        shutil.rmtree(d, ignore_errors=True)
+        # hash-partition puts each bucket wholly in one block, so the
+        # hive-partitioned write is a per-block file split, not a shuffle
+        (hash_partition(
+            vocab.map_batches(explode, batch_format="pyarrow"),
+            ["b"], num_buckets)
+         .map_batches(_sorted_block(key), batch_format="pyarrow")
+         .write_parquet(d, partition_cols=["b"]))
+    mf.write_manifest(mpath, fp, [])
+    return out_dir
+
+
+def kgram_candidates(kgram_dir: str, branches: list[list[str]],
+                     stats: dict | None = None) -> list[str]:
+    """Candidate terms for an OR-of-AND-grams probe: read ONLY the
+    buckets of the needed grams (partition pruning) with a gram IN-filter
+    (row-group pruning), intersect term sets per branch, union branches.
+    All frames are gram-posting-scale; `stats` (optional) receives
+    buckets_read / posting_rows_read / candidates."""
+    need = sorted({g for br in branches for g in br})
+    if not need:
+        raise ValueError("probe has no grams; pattern literal too short "
+                         "for the k-gram dictionary — use the vocab path")
+    buckets = sorted({gram_bucket(g) for g in need})
+    import pyarrow.dataset as pads
+    paths = [os.path.join(kgram_dir, f"b={b}") for b in buckets
+             if os.path.isdir(os.path.join(kgram_dir, f"b={b}"))]
+    rows = 0
+    post: dict[str, set[str]] = {g: set() for g in need}
+    if paths:
+        dset = pads.dataset([pads.dataset(p, format="parquet")
+                             for p in paths])
+        t = dset.to_table(columns=["gram", "term"],
+                          filter=pads.field("gram").isin(need))
+        rows = t.num_rows
+        gs = t["gram"].to_pylist()
+        ts = t["term"].to_pylist()
+        for g, term in zip(gs, ts):
+            post[g].add(term)
+    out: set[str] = set()
+    for br in branches:
+        cand = post[br[0]].copy()
+        for g in br[1:]:
+            cand &= post[g]
+            if not cand:
+                break
+        out |= cand
+    if stats is not None:
+        stats.update(buckets_read=len(paths), posting_rows_read=rows,
+                     grams_probed=len(need), candidates=len(out))
+    return sorted(out)
+
+
+def suffix_candidates(rev_dir: str, suffix: str,
+                      stats: dict | None = None) -> list[str]:
+    """Exact suffix matches via the reversed-term dictionary: ONE bucket
+    (the reversed first char's), one contiguous ``rterm`` prefix range —
+    no post-filter needed (prefix-of-reversed ≡ suffix)."""
+    rs = suffix[::-1]
+    b = gram_bucket(rs[0])
+    path = os.path.join(rev_dir, f"b={b}")
+    if not os.path.isdir(path):
+        if stats is not None:
+            stats.update(buckets_read=0, posting_rows_read=0, candidates=0)
+        return []
+    hi = rs[:-1] + chr(ord(rs[-1]) + 1)
+    import pyarrow.dataset as pads
+    dset = pads.dataset(path, format="parquet")
+    t = dset.to_table(columns=["rterm", "term"],
+                      filter=(pads.field("rterm") >= rs)
+                      & (pads.field("rterm") < hi))
+    if stats is not None:
+        stats.update(buckets_read=1, posting_rows_read=t.num_rows,
+                     candidates=t.num_rows)
+    return sorted(t["term"].to_pylist())
