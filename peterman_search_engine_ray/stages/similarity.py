@@ -303,6 +303,20 @@ class IvfAnnIndex:
         return ids[sel], cos[sel]
 
 
+def _topk_tie_aware(C: np.ndarray, kk: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-kk candidate selection that NEVER splits a tie class
+    at the cut: every entry ≥ the row's kk-th value is kept (exact-
+    duplicate embeddings produce exactly-equal cosines; an argpartition
+    cut would pick an arbitrary kk of them and the re-rank's dst-order
+    tie-break could then miss the true winners).  Returns (row, col)
+    indices; -inf (masked self) entries never match a finite kth."""
+    kx = min(kk, C.shape[1])
+    part = np.argpartition(-C, kx - 1, axis=1)[:, :kx]
+    kth = np.take_along_axis(C, part, axis=1).min(axis=1)
+    mask = (C >= kth[:, None]) & np.isfinite(C)
+    return np.nonzero(mask)
+
+
 def knn_candidates(emb_ds: "ray.data.Dataset", k: int = 3, slack: int = 4,
                    id_col: str = "vec_id",
                    emb_col: str = "embedding") -> pd.DataFrame:
@@ -329,12 +343,8 @@ def knn_candidates(emb_ds: "ray.data.Dataset", k: int = 3, slack: int = 4,
         out = []
         for (sid, did, C) in (((aid, bid, cos),) if same
                               else ((aid, bid, cos), (bid, aid, cos.T))):
-            kx = min(kk, C.shape[1])
-            part = np.argpartition(-C, kx - 1, axis=1)[:, :kx]
-            src = np.repeat(sid, kx)
-            dst = did[part.ravel()]
-            keep = np.isfinite(np.take_along_axis(C, part, axis=1).ravel())
-            out.append(pd.DataFrame({"src": src[keep], "dst": dst[keep]}))
+            ii, jj = _topk_tie_aware(C, kk)
+            out.append(pd.DataFrame({"src": sid[ii], "dst": did[jj]}))
         return pd.concat(out, ignore_index=True)
 
     refs = emb_ds.select_columns([id_col, emb_col]).to_arrow_refs()
@@ -346,3 +356,80 @@ def knn_candidates(emb_ds: "ray.data.Dataset", k: int = 3, slack: int = 4,
                              "dst": pd.Series([], dtype=np.int64)})
     out = pd.concat(outs, ignore_index=True).drop_duplicates()
     return out.astype(np.int64).reset_index(drop=True)
+
+
+def knn_candidates_ivf(ivf: "IvfAnnIndex", k: int = 3, slack: int = 4,
+                       nprobe: int = 3
+                       ) -> tuple[pd.DataFrame, list[dict]]:
+    """Bucketed kNN-graph candidates — the 100-TB composition the exact
+    block-nested-loop (:func:`knn_candidates`, O(B²) block pairs) cannot
+    be: ONE task per IVF cell, whose candidate pool is the cell plus its
+    ``nprobe-1`` nearest sibling cells by centroid cosine.  Per-task
+    work is |cell| × |pool| — bounded by cell sizing, never
+    all-blocks × all-blocks — and cells load worker-side from the IVF's
+    centroid-partitioned parquet (the driver holds only centroids and
+    the result edges).  Approximate by construction: a true neighbor
+    outside the probed pool is missed; on cluster-structured data
+    (in-cluster cosine ≫ out-cluster) recall is structurally 1, asserted
+    against the exact path in tests.  Returns (candidate edges,
+    per-task stats [{cell, cell_rows, pool_rows}]) so callers and tests
+    can bound per-task candidate volume."""
+    import os
+
+    import ray as _ray
+
+    assert ivf.path is not None, "call build() first"
+    if ivf.centroids is None:
+        ivf.centroids = np.load(
+            os.path.normpath(ivf.path) + ".centroids.npy")
+    C = ivf.centroids
+    cells = [c for c in range(C.shape[0])
+             if os.path.isdir(os.path.join(ivf.path, f"cent={c}"))]
+    if not cells:
+        empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                              "dst": pd.Series([], dtype=np.int64)})
+        return empty, []
+    sim = C @ C.T
+    live = np.array(cells)
+    kk = k + slack
+    id_col, emb_col, path = ivf.id_col, ivf.emb_col, ivf.path
+
+    @_ray.remote
+    def cell_knn(c: int, pool: list[int]):
+        import pyarrow.parquet as pq
+
+        def load(cc):
+            t = pq.read_table(os.path.join(path, f"cent={cc}"),
+                              columns=[id_col, emb_col])
+            ids = t[id_col].to_numpy().astype(np.int64)
+            M = np.stack(t[emb_col].to_numpy(zero_copy_only=False)
+                         ).astype(np.float64)
+            return ids, _norm_rows(M)
+
+        aid, A = load(c)
+        parts = [load(cc) for cc in pool]
+        bid = np.concatenate([p[0] for p in parts])
+        B = np.vstack([p[1] for p in parts])
+        cos = A @ B.T
+        cos[aid[:, None] == bid[None, :]] = -np.inf      # no self edge
+        ii, jj = _topk_tie_aware(cos, kk)
+        return (pd.DataFrame({"src": aid[ii], "dst": bid[jj]}),
+                {"cell": int(c), "cell_rows": int(aid.size),
+                 "pool_rows": int(bid.size)})
+
+    futures = []
+    for c in cells:
+        order = live[np.argsort(-sim[c, live])]
+        pool = [int(x) for x in order[:nprobe]]
+        if c not in pool:
+            pool = [c] + pool[:-1]
+        futures.append(cell_knn.remote(c, pool))
+    outs = _ray.get(futures)
+    stats = [s for _, s in outs]
+    frames = [f for f, _ in outs if len(f)]
+    if not frames:
+        return (pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                              "dst": pd.Series([], dtype=np.int64)}), stats)
+    out = (pd.concat(frames, ignore_index=True).drop_duplicates()
+           .astype(np.int64).reset_index(drop=True))
+    return out, stats

@@ -86,3 +86,40 @@ def test_reversed_dict_suffix_exact(dicts):
 def test_short_literal_refuses(dicts):
     with pytest.raises(ValueError, match="gram"):
         kgram_candidates(os.path.join(dicts, "kgram"), [[]])
+
+
+def test_knn_candidates_ivf_bounded_and_recall(ray_session):
+    """Bucketed kNN == exact kNN on cluster-structured data, with every
+    task's candidate pool bounded far below all-pairs."""
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.similarity import (
+        IvfAnnIndex, knn_candidates, knn_candidates_ivf)
+    rng = np.random.RandomState(7)
+    n, d, cdim = 120, 16, 4
+    ids = np.arange(n, dtype=np.int64)
+    base = np.zeros((n, d))
+    base[np.arange(n), 2 * (ids % cdim)] = 500.0
+    V = base + rng.randint(0, 7, size=(n, d))
+    emb = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * d),
+            pa.array(V.ravel(), pa.float64()))})
+    ds = rd.from_arrow(emb).repartition(4)
+    ivf = IvfAnnIndex(n_centroids=cdim, dim=d, iters=6).build(ds)
+    cand, stats = knn_candidates_ivf(ivf, k=3, nprobe=2)
+    exact = knn_candidates(ds, k=3)
+    # per-task volume is bounded: no task saw the whole table as pool
+    assert stats and all(s["pool_rows"] < n for s in stats)
+    # recall 1 on clustered data after identical re-rank: the candidate
+    # set must cover every exact edge's (src,dst) whose dst is in-cluster
+    def rerank(c):
+        s, t = c["src"].to_numpy(), c["dst"].to_numpy()
+        cs = (V[s] * V[t]).sum(1) / (
+            np.linalg.norm(V[s], axis=1) * np.linalg.norm(V[t], axis=1))
+        df = pd.DataFrame({"src": s, "dst": t, "c": cs})
+        top = (df.sort_values(["src", "c", "dst"],
+                              ascending=[True, False, True])
+               .groupby("src", sort=False).head(3))
+        return set(map(tuple, top[["src", "dst"]].to_numpy()))
+    assert rerank(cand) == rerank(exact)
