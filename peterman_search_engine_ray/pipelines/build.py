@@ -404,7 +404,12 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
         # column re-serializes poorly through the row exchange, while the
         # lz4 stream moves as one buffer.
         def scatter_blobs(batch: pa.Table) -> pa.Table:
-            opts = pa.ipc.IpcWriteOptions(compression="lz4")
+            opts = pa.ipc.IpcWriteOptions(
+                compression="lz4"
+                if os.environ.get("PETERMAN_OBJSTORE_LZ4", "1") == "1"
+                else None)
+            n_docs_b = batch.num_rows
+            total_len_b = int(pc.sum(batch["doc_len"]).as_py() or 0)
             ex = explode_fn(batch).combine_chunks()
             part = ex["part"].to_numpy()
             group = part % n_blocks
@@ -421,6 +426,11 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
                     w.write_table(ex.slice(s, e - s))
                 gids.append(int(group[s]))
                 blobs.append(sink.getvalue().to_pybytes())
+            # the corpus stats ride the SAME exchange as one group=-1 row
+            # per batch (8+8 LE bytes) — no separate doc-stats data pass
+            gids.append(-1)
+            blobs.append(n_docs_b.to_bytes(8, "little")
+                         + total_len_b.to_bytes(8, "little"))
             return pa.table({"group": pa.array(gids, pa.int64()),
                              "blob": pa.array(blobs, pa.binary())})
 
@@ -429,14 +439,49 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
                 return _manifest_row(part=-1, tp=-1, dr=-1, seg="",
                                      n_terms=0, n_postings=0,
                                      resumed=False).slice(0, 0)
-            tbls = [pa.ipc.open_stream(pa.BufferReader(b)).read_all()
-                    for b in batch["blob"].to_pylist()]
-            return encode_parts_block(index_dir, cfg, pa.concat_tables(tbls))
+            g = batch["group"].to_numpy()
+            if (g == -1).any():
+                stat_rows = batch.filter(pa.array(g == -1))
+                nd = tl = 0
+                for b in stat_rows["blob"].to_pylist():
+                    nd += int.from_bytes(b[:8], "little")
+                    tl += int.from_bytes(b[8:], "little")
+                # stats travel in the manifest frame as a part=-2 row
+                out = [_manifest_row(part=-2, tp=-1, dr=-1, seg="",
+                                     n_terms=nd, n_postings=tl,
+                                     resumed=False)]
+                batch = batch.filter(pa.array(g != -1))
+            else:
+                out = []
+            if batch.num_rows:
+                tbls = [pa.ipc.open_stream(pa.BufferReader(b)).read_all()
+                        for b in batch["blob"].to_pylist()]
+                out.append(encode_parts_block(index_dir, cfg,
+                                              pa.concat_tables(tbls)))
+            if not out:
+                return _manifest_row(part=-1, tp=-1, dr=-1, seg="",
+                                     n_terms=0, n_postings=0,
+                                     resumed=False).slice(0, 0)
+            return pa.concat_tables(out)
 
         blobs = tok.map_batches(scatter_blobs, batch_format="pyarrow")
-        seg_stats = (hash_partition(blobs, ["group"], n_blocks)
-                     .map_batches(encode_blobs, batch_format="pyarrow")
-                     .to_pandas())
+        # default exchange is sort-based groupby (task-only): the hash
+        # exchange's aggregator-actor spin-up was the measured fixed cost
+        # that kept objstore ~2x behind scatter (round-3 bench); measured
+        # here at 200k docs: hash 5.8 s, sortgroup 2.6 s vs scatter 2.05 s
+        # -> 1.25x, and the stats rows riding the exchange removed the
+        # separate doc-stats pass.  PETERMAN_OBJSTORE_EXCHANGE=hash|<int>
+        # keeps the hash path for experiments.
+        ex_mode = os.environ.get("PETERMAN_OBJSTORE_EXCHANGE", "sortgroup")
+        if ex_mode == "sortgroup":
+            seg_stats = (blobs.groupby("group")
+                         .map_groups(encode_blobs, batch_format="pyarrow")
+                         .to_pandas())
+        else:
+            n_parts = n_blocks if ex_mode == "hash" else int(ex_mode)
+            seg_stats = (hash_partition(blobs, ["group"], n_parts)
+                         .map_batches(encode_blobs, batch_format="pyarrow")
+                         .to_pandas())
         scatter_dir = None
     elif shuffle == "scatter":
         # File-exchange variant (classic map-side shuffle): each task
@@ -542,25 +587,12 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
     _t0 = _time.perf_counter()
 
     if shuffle == "objstore":
-        # ---- doc stats from the checkpoint's pruned doc_len column ----
-        # (n_docs / avgdl for BM25; a column-pruned parquet scan, not a
-        # data pass — scatter mode counts these inline instead)
-        has_fwd = os.path.isdir(fwd_dir) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(fwd_dir) for f in fs)
-        if has_fwd:
-            def _dl_stats(b: pa.Table) -> pa.Table:
-                return pa.table({
-                    "n": pa.array([b.num_rows], pa.int64()),
-                    "s": pa.array([int(pc.sum(b["doc_len"]).as_py() or 0)],
-                                  pa.int64())})
-            agg = (ray.data.read_parquet(fwd_dir, columns=["doc_len"])
-                   .map_batches(_dl_stats, batch_format="pyarrow").to_pandas())
-            n_docs = int(agg["n"].sum())
-            total_len = int(agg["s"].sum())
-        else:
-            n_docs = total_len = 0
-        timings["doc_stats"] = round(_time.perf_counter() - _t0, 3)
+        # ---- doc stats rode the exchange as group=-1 rows and came back
+        # as part=-2 manifest rows — no separate data pass
+        srows = seg_stats[seg_stats["part"] == -2]
+        n_docs = int(srows["n_terms"].sum()) if len(srows) else 0
+        total_len = int(srows["n_postings"].sum()) if len(srows) else 0
+        seg_stats = seg_stats[seg_stats["part"] != -2].reset_index(drop=True)
     avgdl = (total_len / n_docs) if n_docs else 0.0
 
     manifest = {
@@ -828,6 +860,83 @@ def compact_index(index_dir: str, cfg: IndexConfig | None = None) -> dict:
     })
     mf.atomic_write_json(manifest_path, m)
     mf.atomic_write_json(tomb_path, [])
+    return m
+
+
+def auto_compact(index_dir: str, cfg: IndexConfig | None = None,
+                 max_fragments: int = 8) -> dict:
+    """LSM roll-up policy for an incremental-ingest chain (reference
+    threshold semantics: InvertedIndexManager.java:42,260-262 auto-merges
+    at DEFAULT_MERGE_THRESHOLD=8 segments).
+
+    In this layout the inverted segments never fragment — ``extend_index``
+    re-encodes every touched (term_partition, doc_range) part in place —
+    so the artifact a crawl chain fragments is the FORWARD doc store:
+    each ingest generation side-writes new parquet fragments into the
+    ``r=<range>/`` partitions it touches, and point-gets / later extends
+    list-and-read every fragment in a range.  This policy rewrites any
+    range partition holding ≥ ``max_fragments`` fragment files into one
+    doc_id-sorted fragment — one Ray task per affected range, worker-side
+    IO only, untouched ranges never read.  Like ``extend_index`` it is
+    not crash-atomic mid-rewrite (re-run ``build_index(resume=True)`` to
+    reconverge); re-running it is otherwise idempotent.
+
+    Returns {"ranges_compacted", "fragments_before", "fragments_after"}.
+    """
+    import uuid as _uuid
+
+    import ray as _ray
+    cfg = cfg or IndexConfig()
+    fwd_dir = os.path.join(index_dir, "forward")
+    affected: list[tuple[str, list[str]]] = []
+    total_before = total_after = 0
+    if os.path.isdir(fwd_dir):
+        for rname in sorted(os.listdir(fwd_dir)):
+            d = os.path.join(fwd_dir, rname)
+            if not (rname.startswith("r=") and os.path.isdir(d)):
+                continue
+            frags = sorted(f for f in os.listdir(d)
+                           if f.endswith(".parquet"))
+            total_before += len(frags)
+            if len(frags) >= max_fragments:
+                affected.append((d, frags))
+            else:
+                total_after += len(frags)
+
+    @_ray.remote
+    def rollup(d: str, frags: list[str]) -> int:
+        t = pa.concat_tables([pq.read_table(os.path.join(d, f))
+                              for f in frags])
+        order = np.argsort(t["doc_id"].to_numpy(), kind="stable")
+        merged = t.take(order)
+        tmp = os.path.join(d, f".cmp-{_uuid.uuid4().hex[:12]}.tmp")
+        pq.write_table(merged, tmp)
+        os.replace(tmp, os.path.join(
+            d, f"cmp-{_uuid.uuid4().hex[:12]}.parquet"))
+        for f in frags:
+            os.unlink(os.path.join(d, f))
+        return merged.num_rows
+
+    if affected:
+        _ray.get([rollup.remote(d, frags) for d, frags in affected])
+    total_after += len(affected)
+    return {"ranges_compacted": len(affected),
+            "fragments_before": total_before,
+            "fragments_after": total_after}
+
+
+def ingest(corpus_new: "ray.data.Dataset", index_dir: str,
+           cfg: IndexConfig | None = None,
+           merge_threshold: int = 8) -> dict:
+    """One step of the continuously-crawling deployment loop:
+    ``extend_index`` the new documents, then apply the LSM roll-up
+    policy (:func:`auto_compact`) so fragment counts stay bounded no
+    matter how long the ingest chain runs — the policy the reference
+    hard-wires into addDocument (merge at 8 segments), expressed over
+    this engine's mechanisms."""
+    m = extend_index(corpus_new, index_dir, cfg)
+    stats = auto_compact(index_dir, cfg, max_fragments=merge_threshold)
+    m["auto_compact"] = stats
     return m
 
 

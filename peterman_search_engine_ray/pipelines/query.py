@@ -57,6 +57,11 @@ class SegmentReader:
         dir_tbl = pq.read_table(seg_base + ".dir.parquet")
         self._dir = dir_tbl.to_pandas().set_index("term")
         self._sections = self.meta["sections"]
+        # query-side IO accounting (reference page-read counters,
+        # PageFileChannel.java:47-49 / Team1StressTest.java:74-76): every
+        # byte range this reader actually touches, and the position bytes
+        # the candidate-only gather PROVABLY skipped.
+        self.io = {"bytes_read": 0, "pos_bytes_skipped": 0}
 
     def _sec(self, name: str, dtype) -> np.ndarray:
         lo, hi = self._sections[name]
@@ -79,6 +84,8 @@ class SegmentReader:
         if e is None:
             return None
         df = int(e["df"])
+        self.io["bytes_read"] += int(e["post_end"] - e["post_start"]) \
+            + int(e["tf_end"] - e["tf_start"]) + 4 * df
         restarts = np.arange(0, df, block_size, dtype=np.int64)
         doc_ids = self._decode(
             self._sec("postings", np.uint8),
@@ -100,6 +107,7 @@ class SegmentReader:
         if e is None:
             return None
         b0, b1 = int(e["block_start"]), int(e["block_end_idx"])
+        self.io["bytes_read"] += (b1 - b0) * 24    # 8+8+4+4 B per block
         return {
             "last_docid": self._sec("block_last", np.int64)[b0:b1],
             "end_byte": self._sec("block_end", np.int64)[b0:b1],
@@ -120,6 +128,7 @@ class SegmentReader:
             return None
         all_docs, tf, _ = self.postings(term, block_size)
         p_start, p_end = int(e["pos_start"]), int(e["pos_end"])
+        self.io["bytes_read"] += p_end - p_start
         restarts = np.concatenate(([0], np.cumsum(tf.astype(np.int64))[:-1]))
         values = self._pos_decode(self._sec("pos", np.uint8),
                                   p_start, p_end - p_start, restarts=restarts)
@@ -164,6 +173,8 @@ class SegmentReader:
         out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         take = np.arange(total, dtype=np.int64) + \
             np.repeat(los - out_starts, lens)
+        self.io["bytes_read"] += total + 4 * (s1 - s0)
+        self.io["pos_bytes_skipped"] += (p_end - p_start) - total
         buf = self._sec("pos", np.uint8)[take]
         restarts = np.concatenate(([0], np.cumsum(tf_v)[:-1]))
         values = self._pos_decode(buf, 0, total, restarts=restarts)
@@ -229,6 +240,31 @@ class IndexReader:
         self._contrib_cache: dict[str, np.ndarray] = {}
         self._lead_cache: dict[tuple, np.ndarray] = {}
         self._acc_buf: np.ndarray | None = None
+        # reader-level IO accounting (reference counter tests,
+        # Team1StressTest.java:74-76): pruned_candidates counts postings
+        # the block-max bounds removed before scoring; lists_skipped counts
+        # whole term lists the suffix bound eliminated
+        self.io = {"pruned_candidates": 0, "lists_skipped": 0}
+
+    # -- IO accounting ------------------------------------------------------
+    def io_counters(self) -> dict:
+        """Aggregate IO counters: bytes actually read / position bytes
+        provably skipped across every open segment reader, plus the
+        block-max pruning counter — how block-skip claims are PROVEN
+        instead of asserted (see tests/test_io_counters)."""
+        out = dict(self.io)
+        out["bytes_read"] = sum(s.io["bytes_read"]
+                                for s in self._segments.values())
+        out["pos_bytes_skipped"] = sum(s.io["pos_bytes_skipped"]
+                                       for s in self._segments.values())
+        return out
+
+    def reset_io_counters(self) -> None:
+        self.io["pruned_candidates"] = 0
+        self.io["lists_skipped"] = 0
+        for s in self._segments.values():
+            s.io["bytes_read"] = 0
+            s.io["pos_bytes_skipped"] = 0
 
     # -- plumbing ---------------------------------------------------------
     def term_partition(self, term: str) -> int:
@@ -1023,6 +1059,7 @@ class IndexReader:
             # an unevaluated doc absent from lists 0..j-1 scores ≤ suffix[j];
             # strict <: score == θ can still win the doc_id tie-break
             if suffix[j] < theta:
+                self.io["lists_skipped"] += len(plists) - j
                 break
             cand = p["docs"]
             for ev in seen:
@@ -1033,7 +1070,9 @@ class IndexReader:
                     idx = np.searchsorted(p["last"], chunk, side="left")
                     bounds = p["bub"][np.minimum(idx, p["bub"].size - 1)]
                     # keep == θ candidates: tie-break is by ascending doc_id
+                    before = chunk.size
                     chunk = chunk[bounds + suffix[j + 1] >= theta]
+                    self.io["pruned_candidates"] += before - chunk.size
                     if chunk.size == 0:
                         continue
                 scores = np.zeros(chunk.size, np.float64)

@@ -824,3 +824,121 @@ def test_keyword_snippets(built):
             continue
         pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()),
                                       obj=kw)
+
+
+def test_ingest_chain_auto_compact_bounds_fragments(ray_session,
+                                                    tmp_path_factory):
+    """A long ingest chain with the LSM roll-up policy (reference
+    DEFAULT_MERGE_THRESHOLD semantics, InvertedIndexManager.java:42)
+    keeps per-range forward fragment counts bounded, while segments and
+    query results stay identical to the one-shot build — and a FURTHER
+    extend after compaction still works (the rolled-up store feeds the
+    re-encode path correctly)."""
+    import filecmp
+    from peterman_search_engine_ray.corpus import _wrap_batch, synth_rows
+    from peterman_search_engine_ray.pipelines.build import (
+        auto_compact, build_index, ingest)
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    import ray.data as rd
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=6,
+                      block_size=8, positional=True)
+    all_rows = synth_rows(60)
+    full_dir = str(tmp_path_factory.mktemp("idx_fullc"))
+    inc_dir = str(tmp_path_factory.mktemp("idx_incc"))
+    build_index(rd.from_arrow(_wrap_batch(all_rows)), full_dir, cfg)
+    # chain: initial 12 docs, then 8 ingests of 6 docs — every ingest
+    # lands in range 0 (bits=6 -> one range), fragmenting the doc store
+    build_index(rd.from_arrow(_wrap_batch(all_rows.slice(0, 12))),
+                inc_dir, cfg, input_token="gen0")
+    threshold = 4
+    for i in range(8):
+        m = ingest(rd.from_arrow(_wrap_batch(all_rows.slice(12 + 6 * i, 6))),
+                   inc_dir, cfg, merge_threshold=threshold)
+    fwd = os.path.join(inc_dir, "forward")
+    for rname in os.listdir(fwd):
+        if rname.startswith("r="):
+            frags = [f for f in os.listdir(os.path.join(fwd, rname))
+                     if f.endswith(".parquet")]
+            assert len(frags) < threshold + 1, (rname, frags)
+    # identity with the one-shot build survives the roll-ups
+    rf, ri = IndexReader(full_dir), IndexReader(inc_dir)
+    assert ri.manifest["n_docs"] == 60
+    for fn in sorted(os.listdir(os.path.join(full_dir, "segments"))):
+        if fn.endswith(".bin"):
+            assert filecmp.cmp(os.path.join(full_dir, "segments", fn),
+                               os.path.join(inc_dir, "segments", fn),
+                               shallow=False), fn
+    d1, s1 = rf.bm25_topk_auto(["peterman", "grape"], 10)
+    d2, s2 = ri.bm25_topk_auto(["peterman", "grape"], 10)
+    assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+    # point-get over the rolled-up store
+    got = ri.get_docs(np.array([3, 41]))
+    assert got["doc_id"].tolist() == [3, 41]
+    # idempotent / no-op second pass
+    stats = auto_compact(inc_dir, cfg, max_fragments=threshold)
+    assert stats["ranges_compacted"] == 0
+
+
+def test_reader_io_counters_prove_pruning(ray_session, tmp_path_factory):
+    """Query-side IO accounting (reference PageFileChannel counter tests):
+    candidate-only phrase gathers PROVABLY skip position bytes, block-max
+    pruning reports pruned candidates on a selective query, and counters
+    reset."""
+    from peterman_search_engine_ray.corpus import _wrap_batch, synth_rows
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    import ray.data as rd
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=8,
+                      block_size=8, positional=True)
+    idx = str(tmp_path_factory.mktemp("idx_io"))
+    # WAND-shaped corpus: 'aax' docs are short (high per-term contrib);
+    # 'bbx' docs are long with tf=2 except doc 50 (tf=20, one hot block).
+    # After the aax list evaluates, θ exceeds every tf=2 bbx BLOCK bound
+    # (max_tf=2, long min_dl) but not the hot block's — the block-max
+    # filter must prune the cold blocks' candidates, provably.
+    import pyarrow as pa
+    texts = []
+    for i in range(100):
+        if i < 3:
+            # rare co-occurrence: phrase candidates ≪ either df → the
+            # phrase path takes the candidate-only position gather
+            texts.append("aax bbx end")
+        elif i < 5:
+            texts.append("aax aax eex")     # rare high-idf term
+        elif i < 50:
+            texts.append("aax aax end")
+        elif i == 50:
+            texts.append(" ".join(["bbx"] * 20) + " pad pad pad pad")
+        else:
+            texts.append("bbx bbx " + " ".join(f"pad{j}" for j in range(10)))
+    rows = pa.table({"doc_id": pa.array(np.arange(100, dtype=np.int64)),
+                     "text": pa.array(texts)})
+    build_index(rd.from_arrow(_wrap_batch(rows)), idx, cfg)
+    r = IndexReader(idx)
+    r.search_keyword("aax")
+    c1 = r.io_counters()
+    assert c1["bytes_read"] > 0
+    # selective phrase: the candidate-only gather skips most pos bytes
+    r.reset_io_counters()
+    assert r.io_counters()["bytes_read"] == 0
+    hits = r.search_phrase(["aax", "bbx"])
+    assert hits.tolist() == [0, 1, 2]
+    c2 = r.io_counters()
+    assert c2["pos_bytes_skipped"] > 0
+    # pruned BM25: after the rare high-idf list fills top-k, the common
+    # term's whole list is suffix-bound skipped — identically to the
+    # exact scorer
+    r.reset_io_counters()
+    dp, sp = r.bm25_topk_pruned(["aax", "eex"], 2)
+    de, se = r.bm25_topk(["aax", "eex"], 2)
+    assert dp.tolist() == de.tolist() and sp.tolist() == se.tolist()
+    assert r.io_counters()["lists_skipped"] > 0
+    # with an external θ floor (the sharded pilot-wave path,
+    # serve.ShardSearcher), the block-max filter prunes candidates whose
+    # block bound cannot beat θ — result still exact
+    dx, sx = r.bm25_topk(["bbx"], 1)
+    r.reset_io_counters()
+    dq, sq = r._bm25_pruned_terms(r._query_weights(["bbx"]), 1,
+                                  theta0=float(sx[0]))
+    assert dq.tolist() == dx.tolist() and sq.tolist() == sx.tolist()
+    assert r.io_counters()["pruned_candidates"] > 0
