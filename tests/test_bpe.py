@@ -1,0 +1,111 @@
+"""Distributed BPE tokenizer training (stages/bpe.py).
+
+No reference analog — the reference indexes text, it does not learn a
+subword vocabulary; this is the tokenizer-training stage of an LLM data
+pipeline.  The oracle contract is pinned by tests: run-parity rewrite ==
+left-to-right textbook merge, and the distributed trainer == a
+single-process reference loop on the same word-frequency table.
+"""
+
+import itertools
+import random
+from collections import Counter
+
+import pandas as pd
+import pyarrow as pa
+
+from peterman_search_engine_ray.stages.bpe import (
+    _make_apply_merge, _pair_partials, merge_word, train_bpe)
+
+
+def _ref_bpe(wf: dict[str, int], num_merges: int):
+    """Single-process textbook BPE — the semantics train_bpe must match."""
+    words = {w: list(w) for w in wf}
+    merges = []
+    for it in range(num_merges):
+        pc = Counter()
+        for w, sym in words.items():
+            for p in zip(sym[:-1], sym[1:]):
+                pc[p] += wf[w]
+        if not pc:
+            break
+        (a, b), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((it, a, b, cnt))
+        for w in words:
+            words[w] = merge_word(words[w], a, b)
+    return merges
+
+
+def test_merge_word_run_parity_cases():
+    # overlapping same-symbol runs: left-to-right semantics
+    assert merge_word(list("aaa"), "a", "a") == ["aa", "a"]
+    assert merge_word(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert merge_word(list("aaaaa"), "a", "a") == ["aa", "aa", "a"]
+    assert merge_word(list("abab"), "a", "b") == ["ab", "ab"]
+    assert merge_word(list("xaby"), "a", "b") == ["x", "ab", "y"]
+    assert merge_word(["ab", "c"], "ab", "c") == ["abc"]
+    assert merge_word(list("xy"), "q", "r") == ["x", "y"]
+
+
+def test_pair_partials_exact_counts():
+    batch = pa.table({
+        "w": ["abab", "aab"],
+        "f": pa.array([3, 2], pa.int64()),
+        "sy": pa.array([list("abab"), list("aab")], pa.list_(pa.string()))})
+    out = _pair_partials(batch).to_pandas()
+    got = {(r["a"], r["b"]): r["cnt"] for _, r in out.iterrows()}
+    # abab: ab×2, ba×1 (weight 3); aab: aa×1, ab×1 (weight 2)
+    assert got == {("a", "b"): 3 * 2 + 2, ("b", "a"): 3, ("a", "a"): 2}
+
+
+def test_apply_merge_prefilter_noop_block():
+    batch = pa.table({
+        "w": ["xy"], "f": pa.array([1], pa.int64()),
+        "sy": pa.array([list("xy")], pa.list_(pa.string()))})
+    out = _make_apply_merge("a", "b")(batch)
+    assert out is batch  # untouched block passes through zero-copy
+
+
+def test_train_bpe_matches_reference_loop(ray_session):
+    import ray.data
+    random.seed(7)
+    alph = "abcde"
+    wf = {"".join(random.choice(alph) for _ in range(random.randint(2, 9))):
+          random.randint(1, 50) for _ in range(120)}
+    words_ds = ray.data.from_arrow(pa.table({
+        "w": list(wf), "f": pa.array(list(wf.values()), pa.int64())}))
+    got = train_bpe(words_ds, num_merges=8)
+    exp = pd.DataFrame(_ref_bpe(wf, 8), columns=["it", "a", "b", "cnt"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.astype({"it": "int64", "cnt": "int64"}))
+
+
+def test_run_parity_equals_left_to_right_exhaustive():
+    # run-parity is how the SQL oracle rewrites; prove it equals the
+    # left-to-right loop on every ≤6-symbol binary sequence × all pairs
+    for L in range(2, 7):
+        for t in itertools.product("ab", repeat=L):
+            sym = list(t)
+            for a, b in itertools.product("ab", repeat=2):
+                exp = merge_word(sym, a, b)
+                # run-parity re-derivation
+                match = [i for i in range(len(sym) - 1)
+                         if sym[i] == a and sym[i + 1] == b]
+                keep, run = [], []
+                for i in match:
+                    if run and i == run[-1] + 1:
+                        run.append(i)
+                    else:
+                        run = [i]
+                    if (len(run) % 2) == 1:
+                        keep.append(i)
+                out, i = [], 0
+                ks = set(keep)
+                while i < len(sym):
+                    if i in ks:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                assert out == exp, (sym, a, b)
