@@ -114,10 +114,13 @@ def add_symbols(batch: pa.Table) -> pa.Table:
                                     pa.list_(pa.string()))})
 
 
-def train_bpe(words_ds: "ray.data.Dataset", num_merges: int = 10) -> pd.DataFrame:
+def train_bpe(words_ds: "ray.data.Dataset", num_merges: int = 10,
+              return_state: bool = False):
     """Learn ``num_merges`` BPE merges over a (w, f) word-frequency
     Dataset.  Returns (it, a, b, cnt) — iteration index, merged pair,
     exact int64 occurrence-weighted pair count at selection time.
+    With ``return_state`` also returns the fully-rewritten (w, f, sy)
+    Dataset (the corpus segmented under the learned vocabulary).
 
     Models the tokenizer-training stage of an LLM data pipeline; no
     reference analog (the reference indexes, it does not learn vocab)."""
@@ -135,10 +138,43 @@ def train_bpe(words_ds: "ray.data.Dataset", num_merges: int = 10) -> pd.DataFram
         top = tot.iloc[0]
         a, b, cnt = str(top["a"]), str(top["b"]), int(top["cnt"])
         merges.append({"it": it, "a": a, "b": b, "cnt": cnt})
-        if it + 1 < num_merges:
+        if return_state or it + 1 < num_merges:
             words = words.map_batches(_make_apply_merge(a, b),
                                       batch_format="pyarrow").materialize()
     out = pd.DataFrame(merges, columns=["it", "a", "b", "cnt"])
     for c in ("it", "cnt"):
         out[c] = out[c].astype(np.int64)
+    return (out, words) if return_state else out
+
+
+def vocab_counts(words_ds: "ray.data.Dataset", k: int = 50) -> pd.DataFrame:
+    """Occurrence-weighted counts of the current symbols (subword
+    tokens) of a (w, f, sy) Dataset — map-side partials (dictionary
+    encode + exact int64 scatter-add), symbol-scale driver combine.
+    Returns the top-k (token, cnt) by (cnt desc, token asc)."""
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        sy = batch["sy"].combine_chunks()
+        flat = sy.flatten()
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        lens = np.diff(np.asarray(sy.offsets))
+        wts = np.repeat(batch["f"].to_numpy(), lens)
+        denc = pc.dictionary_encode(flat)
+        cnt = np.zeros(len(denc.dictionary), np.int64)
+        np.add.at(cnt, np.asarray(denc.indices).astype(np.int64), wts)
+        return pa.table({"token": denc.dictionary, "cnt": pa.array(cnt)})
+
+    parts = (words_ds.map_batches(partials, batch_format="pyarrow")
+             .to_pandas())
+    if not len(parts):
+        return pd.DataFrame({"token": pd.Series(dtype=str),
+                             "cnt": pd.Series(dtype=np.int64)})
+    out = (parts.groupby("token", as_index=False)["cnt"].sum()
+           .sort_values(["cnt", "token"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["cnt"] = out["cnt"].astype(np.int64)
     return out

@@ -15,7 +15,7 @@ import pandas as pd
 import pyarrow as pa
 
 from peterman_search_engine_ray.stages.bpe import (
-    _make_apply_merge, _pair_partials, merge_word, train_bpe)
+    _make_apply_merge, _pair_partials, merge_word, train_bpe, vocab_counts)
 
 
 def _ref_bpe(wf: dict[str, int], num_merges: int):
@@ -78,6 +78,30 @@ def test_train_bpe_matches_reference_loop(ray_session):
     exp = pd.DataFrame(_ref_bpe(wf, 8), columns=["it", "a", "b", "cnt"])
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp.astype({"it": "int64", "cnt": "int64"}))
+
+
+def test_vocab_counts_matches_reference_loop(ray_session):
+    import ray.data
+    random.seed(11)
+    wf = {"".join(random.choice("abcd") for _ in range(random.randint(2, 8))):
+          random.randint(1, 30) for _ in range(80)}
+    words_ds = ray.data.from_arrow(pa.table({
+        "w": list(wf), "f": pa.array(list(wf.values()), pa.int64())}))
+    _, final = train_bpe(words_ds, num_merges=5, return_state=True)
+    got = vocab_counts(final, k=20)
+
+    # reference: replay merges single-process, count final symbols
+    words = {w: list(w) for w in wf}
+    for _, a, b, _cnt in _ref_bpe(wf, 5):
+        for w in words:
+            words[w] = merge_word(words[w], a, b)
+    cnt = Counter()
+    for w, sym in words.items():
+        for s in sym:
+            cnt[s] += wf[w]
+    exp = (pd.DataFrame(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20],
+                        columns=["token", "cnt"]).astype({"cnt": "int64"}))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
 
 
 def test_run_parity_equals_left_to_right_exhaustive():
