@@ -323,3 +323,90 @@ def hits_ray(edges_ds: "ray.data.Dataset", iters: int = 2,
         a = half_step("src", "dst", h)      # authorities pull hub mass
         h = half_step("dst", "src", a)      # hubs pull authority mass
     return pd.DataFrame({"node": nodes, "authority": a, "hub": h})
+
+
+def lpa_numpy(edges: pd.DataFrame, rounds: int = 2) -> pd.DataFrame:
+    """Single-process synchronous label propagation (Raghavan'07) on the
+    UNDIRECTED multigraph view: every node starts as its own label; each
+    round every node adopts the most frequent neighbor label (multi-edges
+    weighted, ties -> smallest label).  The distributed twin must match
+    this exactly (asserted in tests)."""
+    src = np.concatenate([edges["src"].to_numpy(), edges["dst"].to_numpy()])
+    dst = np.concatenate([edges["dst"].to_numpy(), edges["src"].to_numpy()])
+    nodes = np.unique(dst)
+    labels = nodes.copy()
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    for _ in range(rounds):
+        lab = labels[si]
+        li = np.searchsorted(nodes, lab)       # labels are node ids
+        key = di * np.int64(nodes.size) + li
+        uk, cnt = np.unique(key, return_counts=True)
+        kd, kl = uk // nodes.size, uk % nodes.size
+        # per dst: argmax count, tie -> smallest label
+        order = np.lexsort((kl, -cnt, kd))
+        kd, kl = kd[order], kl[order]
+        first = np.concatenate(([True], kd[1:] != kd[:-1]))
+        new = labels.copy()
+        new[kd[first]] = nodes[kl[first]]
+        labels = new
+    return pd.DataFrame({"node": nodes, "label": labels})
+
+
+def lpa_ray(edges_ds: "ray.data.Dataset", rounds: int = 2,
+            num_parts: int | None = None) -> pd.DataFrame:
+    """Distributed synchronous LPA with ONE shuffle total, the
+    ``pagerank_ray`` shape: the undirected edge expansion hash-partitions
+    by ``dst`` once (every dst group wholly in one block) and
+    materializes; each round is then MAP-ONLY — the label vector
+    broadcasts via ``ray.put``, every block computes its dst groups'
+    exact weighted argmax locally (dst groups never split), and the
+    driver gathers <= |nodes| (dst, label) rows.  Driver state is
+    node-scale arrays, the accepted graph-serving bound (see
+    pagerank_ray).  Output identical to lpa_numpy (tested)."""
+    from ..stages.shuffle import hash_partition
+
+    def und(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy()
+        d = batch["dst"].to_numpy()
+        return pa.table({"src": pa.array(np.concatenate([s, d]), pa.int64()),
+                         "dst": pa.array(np.concatenate([d, s]), pa.int64())})
+
+    ed = edges_ds.map_batches(und, batch_format="pyarrow")
+    nodes, _ = _node_stats(ed)
+    if nodes.size == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "label": pd.Series([], dtype=np.int64)})
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    n_parts = num_parts or min(16, max(4, cpus))
+    parts = hash_partition(ed, ["dst"], n_parts).materialize()
+    nodes_ref = ray.put(nodes)
+    labels = nodes.copy()
+
+    def step(lab_ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            ns, lv = ray.get(nodes_ref), ray.get(lab_ref)
+            si = np.searchsorted(ns, batch["src"].to_numpy())
+            di = np.searchsorted(ns, batch["dst"].to_numpy())
+            li = np.searchsorted(ns, lv[si])   # labels are node ids
+            key = di * np.int64(ns.size) + li
+            uk, cnt = np.unique(key, return_counts=True)
+            kd, kl = uk // ns.size, uk % ns.size
+            order = np.lexsort((kl, -cnt, kd))
+            kd, kl = kd[order], kl[order]
+            first = np.concatenate(([True], kd[1:] != kd[:-1]))
+            return pa.table({
+                "node": pa.array(ns[kd[first]], pa.int64()),
+                "label": pa.array(ns[kl[first]], pa.int64())})
+        return fn
+
+    for _ in range(rounds):
+        new = (parts.map_batches(step(ray.put(labels)),
+                                 batch_format="pyarrow").to_pandas())
+        nxt = labels.copy()
+        if len(new):
+            nxt[np.searchsorted(nodes, new["node"].to_numpy())] = \
+                new["label"].to_numpy()
+        labels = nxt
+    return pd.DataFrame({"node": nodes, "label": labels})

@@ -1069,6 +1069,29 @@ def test_hits(ray_session):
     assert not c["authority"].equals(a["authority"])
 
 
+def test_lpa_label_propagation(ray_session):
+    """Distributed synchronous LPA == the numpy twin, on the synthetic
+    graph AND a random multigraph; labels converge toward the hub."""
+    import ray.data as rd
+    from peterman_search_engine_ray.pipelines.pagerank import (
+        lpa_numpy, lpa_ray, synth_edges)
+    edges_tbl = synth_edges(np.arange(60))
+    a = lpa_numpy(edges_tbl.to_pandas(), rounds=2)
+    b = lpa_ray(rd.from_arrow(edges_tbl), rounds=2)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["label"].nunique() < 60        # propagation actually merged
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    keep = src != dst
+    df = pd.DataFrame({"src": src[keep].astype(np.int64),
+                       "dst": dst[keep].astype(np.int64)})
+    a = lpa_numpy(df, rounds=3)
+    b = lpa_ray(rd.from_pandas(df).repartition(4), rounds=3)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_sliding_and_coview(ray_session):
     """Sliding windows vs brute force; co-view pairs vs brute force."""
     import json
