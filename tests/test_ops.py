@@ -1092,6 +1092,40 @@ def test_lpa_label_propagation(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_triangle_count(ray_session):
+    """Distributed degree-ordered triangle counting == numpy twin ==
+    brute-force neighborhood intersection, on random multigraphs and the
+    synthetic link graph."""
+    import ray.data as rd
+    from peterman_search_engine_ray.pipelines.pagerank import (
+        synth_edges, triangle_count_numpy, triangle_count_ray)
+
+    def brute(df):
+        und = {(min(s, d), max(s, d))
+               for s, d in zip(df["src"], df["dst"]) if s != d}
+        adj: dict = {}
+        for u, v in und:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        return sum(len(adj[u] & adj[v]) for u, v in und) // 3
+
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        src = rng.integers(0, 30, 200)
+        dst = rng.integers(0, 30, 200)
+        df = pd.DataFrame({"src": src.astype(np.int64),
+                           "dst": dst.astype(np.int64)})
+        a = triangle_count_numpy(df)
+        b = triangle_count_ray(rd.from_pandas(df).repartition(4))
+        assert a["triangles"][0] == brute(df)
+        pd.testing.assert_frame_equal(a, b)
+    e = synth_edges(np.arange(100)).to_pandas()
+    a = triangle_count_numpy(e)
+    b = triangle_count_ray(rd.from_pandas(e).repartition(4))
+    assert a["triangles"][0] == brute(e) == 5
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_sliding_and_coview(ray_session):
     """Sliding windows vs brute force; co-view pairs vs brute force."""
     import json
