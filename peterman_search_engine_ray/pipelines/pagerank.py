@@ -111,12 +111,20 @@ def _prep(edges: pd.DataFrame):
 
 
 def pagerank_numpy(edges: pd.DataFrame, num_iterations: int = 100,
-                   damping: float = 0.85) -> pd.DataFrame:
+                   damping: float = 0.85,
+                   teleport_ids: np.ndarray | None = None) -> pd.DataFrame:
+    """With ``teleport_ids`` this is PERSONALIZED PageRank: the teleport
+    term (and the initial score) is the seed-set indicator instead of
+    the all-ones vector — ``(1-d)·1[p∈S] + d·Σ``.  The default
+    reproduces the reference global semantics bit-for-bit (the indicator
+    is 1.0 everywhere and ``(1-d)·1.0`` is an exact float identity)."""
     nodes, src, dst, outdeg = _prep(edges)
-    prev = np.ones(nodes.size)
+    ind = np.ones(nodes.size) if teleport_ids is None else \
+        np.isin(nodes, np.asarray(teleport_ids)).astype(np.float64)
+    prev = ind.copy()
     for _ in range(num_iterations):
         contrib = prev[src] / outdeg[src]
-        cur = (1 - damping) + damping * np.bincount(
+        cur = (1 - damping) * ind + damping * np.bincount(
             dst, weights=contrib, minlength=nodes.size)
         prev = cur
     out = pd.DataFrame({"node": nodes, "score": prev})
@@ -188,7 +196,8 @@ def pagerank_weighted(edges: pd.DataFrame, num_iterations: int = 100,
 
 def pagerank_ray(edges_ds: "ray.data.Dataset", num_iterations: int = 100,
                  damping: float = 0.85,
-                 num_parts: int | None = None) -> pd.DataFrame:
+                 num_parts: int | None = None,
+                 teleport_ids: np.ndarray | None = None) -> pd.DataFrame:
     """Distributed iteration with ONE shuffle total: edges hash-partition
     by ``dst`` once (every dst group wholly in one block) and materialize;
     each iteration is then a MAP-ONLY job — the weight vector broadcasts
@@ -208,7 +217,12 @@ def pagerank_ray(edges_ds: "ray.data.Dataset", num_iterations: int = 100,
     n_parts = num_parts or min(16, max(4, cpus))
     parts = hash_partition(edges_ds, ["dst"], n_parts).materialize()
     nodes_ref = ray.put(nodes)                 # broadcast ONCE
-    prev = np.ones(nodes.size, np.float64)
+    # personalization: teleport to the seed-set indicator (see
+    # pagerank_numpy); the all-ones default is the global reference
+    # semantics, bit-for-bit
+    ind = np.ones(nodes.size, np.float64) if teleport_ids is None else \
+        np.isin(nodes, np.asarray(teleport_ids)).astype(np.float64)
+    prev = ind.copy()
 
     def contrib_fn(w_ref):
         def contrib(batch: pa.Table) -> pa.Table:
@@ -232,7 +246,7 @@ def pagerank_ray(edges_ds: "ray.data.Dataset", num_iterations: int = 100,
             np.add.at(incoming,
                       np.searchsorted(nodes, sums["dst"].to_numpy()),
                       sums["s"].to_numpy())
-        prev = (1 - damping) + damping * incoming
+        prev = (1 - damping) * ind + damping * incoming
 
     out = pd.DataFrame({"node": nodes, "score": prev})
     return out.sort_values(["score", "node"],

@@ -190,6 +190,16 @@ def test_pagerank(ray_session):
     # reference init/update semantics: no in-links → score = 0.15
     solo = pagerank_numpy(pd.DataFrame({"src": [1, 2], "dst": [2, 1]}), 10)
     assert set(solo["node"]) == {1, 2}
+    # personalized variant: ray twin == numpy twin; mass concentrates
+    # around the seed set; non-seed teleport term is 0
+    seeds = np.array([2, 5, 9], dtype=np.int64)
+    ap = pagerank_numpy(edges, num_iterations=30, teleport_ids=seeds)
+    bp = pagerank_ray(rd.from_arrow(edges_tbl), num_iterations=30,
+                      teleport_ids=seeds)
+    pd.testing.assert_frame_equal(ap, bp)
+    assert not ap["score"].equals(a["score"])   # personalization matters
+    dead = ap[~ap["node"].isin(seeds)]["score"]
+    assert (dead < ap[ap["node"].isin(seeds)]["score"].max()).all()
 
 
 def test_host_collapse_and_weighted_pagerank(ray_session):
