@@ -348,6 +348,9 @@ def lpa_numpy(edges: pd.DataFrame, rounds: int = 2) -> pd.DataFrame:
     src = np.concatenate([edges["src"].to_numpy(), edges["dst"].to_numpy()])
     dst = np.concatenate([edges["dst"].to_numpy(), edges["src"].to_numpy()])
     nodes = np.unique(dst)
+    if nodes.size == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "label": pd.Series([], dtype=np.int64)})
     labels = nodes.copy()
     si = np.searchsorted(nodes, src)
     di = np.searchsorted(nodes, dst)
@@ -426,6 +429,21 @@ def lpa_ray(edges_ds: "ray.data.Dataset", rounds: int = 2,
     return pd.DataFrame({"node": nodes, "label": labels})
 
 
+def _pack32(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a << 32) | b int64 keys, with the pack-range guard every packed
+    key in this repo carries: ids outside [0, 2^32) would bleed into the
+    neighbour field and silently corrupt counts — raise instead."""
+    if a.size and (min(a.min(), b.min()) < 0
+                   or max(a.max(), b.max()) >= (1 << 32)):
+        raise ValueError("node ids must lie in [0, 2^32) for packed "
+                         "edge keys; repartition/remap ids first")
+    return (a << np.int64(32)) | b
+
+
+def _unpack32(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return key >> np.int64(32), key & np.int64((1 << 32) - 1)
+
+
 def _canon_und(edges: pd.DataFrame) -> np.ndarray:
     """Distinct undirected edges as packed (lo << 32) | hi keys."""
     s = edges["src"].to_numpy(np.int64)
@@ -433,7 +451,7 @@ def _canon_und(edges: pd.DataFrame) -> np.ndarray:
     keep = s != d
     lo = np.minimum(s[keep], d[keep])
     hi = np.maximum(s[keep], d[keep])
-    return np.unique((lo << np.int64(32)) | hi)
+    return np.unique(_pack32(lo, hi))
 
 
 def triangle_count_numpy(edges: pd.DataFrame) -> pd.DataFrame:
@@ -441,7 +459,7 @@ def triangle_count_numpy(edges: pd.DataFrame) -> pd.DataFrame:
     graph (dupes/direction collapsed) — the semantics the distributed
     twin must match."""
     key = _canon_und(edges)
-    lo, hi = key >> np.int64(32), key & np.int64((1 << 32) - 1)
+    lo, hi = _unpack32(key)
     nodes, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
     deg = np.bincount(inv, minlength=nodes.size)
     li, hi_i = inv[:lo.size], inv[lo.size:]
@@ -488,24 +506,22 @@ def triangle_count_ray(edges_ds: "ray.data.Dataset",
     bound) and the final integer sums."""
     from ..stages.shuffle import hash_partition
 
+    def _key_table(key: np.ndarray) -> pa.Table:
+        lo, hi = _unpack32(key)
+        return pa.table({"lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64())})
+
     def canon(batch: pa.Table) -> pa.Table:
         s = batch["src"].to_numpy().astype(np.int64)
         d = batch["dst"].to_numpy().astype(np.int64)
         keep = s != d
         lo = np.minimum(s[keep], d[keep])
         hi = np.maximum(s[keep], d[keep])
-        key = np.unique((lo << np.int64(32)) | hi)
-        return pa.table({"lo": pa.array(key >> np.int64(32), pa.int64()),
-                         "hi": pa.array(key & np.int64((1 << 32) - 1),
-                                        pa.int64())})
+        return _key_table(np.unique(_pack32(lo, hi)))
 
     def dedupe(batch: pa.Table) -> pa.Table:
-        lo = batch["lo"].to_numpy()
-        hi = batch["hi"].to_numpy()
-        key = np.unique((lo << np.int64(32)) | hi)
-        return pa.table({"lo": pa.array(key >> np.int64(32), pa.int64()),
-                         "hi": pa.array(key & np.int64((1 << 32) - 1),
-                                        pa.int64())})
+        return _key_table(np.unique(_pack32(batch["lo"].to_numpy(),
+                                            batch["hi"].to_numpy())))
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
@@ -589,7 +605,7 @@ def triangle_count_ray(edges_ds: "ray.data.Dataset",
         a = batch["a"].to_numpy()
         b = batch["b"].to_numpy()
         t = batch["t"].to_numpy()
-        key = (a << np.int64(32)) | b
+        key = _pack32(a, b)     # ids already guarded at canon time
         ekeys = np.unique(key[t == 1])
         wkeys = key[t == 0]
         tri = int(np.isin(wkeys, ekeys).sum())

@@ -1102,6 +1102,22 @@ def test_lpa_label_propagation(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_graph_edge_guards(ray_session):
+    """Empty inputs return empty frames (not crashes); packed edge keys
+    refuse out-of-range ids instead of silently corrupting counts."""
+    import pytest
+    from peterman_search_engine_ray.pipelines.pagerank import (
+        lpa_numpy, triangle_count_numpy)
+    empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                          "dst": pd.Series([], dtype=np.int64)})
+    assert len(lpa_numpy(empty)) == 0
+    assert triangle_count_numpy(empty)["triangles"][0] == 0
+    big = pd.DataFrame({"src": np.array([1 << 33], np.int64),
+                        "dst": np.array([1], np.int64)})
+    with pytest.raises(ValueError, match="2\\^32"):
+        triangle_count_numpy(big)
+
+
 def test_triangle_count(ray_session):
     """Distributed degree-ordered triangle counting == numpy twin ==
     brute-force neighborhood intersection, on random multigraphs and the
