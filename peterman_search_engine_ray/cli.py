@@ -169,6 +169,14 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_alias(args) -> int:
+    from .state import manifest as mf
+    mf.set_alias(args.alias, args.index)
+    print(json.dumps({"alias": args.alias,
+                      "index_dir": mf.resolve_alias(args.alias)}))
+    return 0
+
+
 def cmd_delete(args) -> int:
     from .pipelines.query import IndexReader
     r = IndexReader(args.index)
@@ -243,6 +251,13 @@ def main(argv=None) -> int:
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    al = sub.add_parser("alias", help="atomically point an alias file at "
+                        "an index dir (blue/green reindex switch); every "
+                        "--index flag accepts the alias file afterwards")
+    al.add_argument("--alias", required=True)
+    al.add_argument("--index", required=True)
+    al.set_defaults(fn=cmd_alias)
 
     d = sub.add_parser("delete")
     d.add_argument("--index", required=True)

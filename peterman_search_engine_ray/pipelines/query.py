@@ -205,6 +205,10 @@ class IndexReader:
     """Whole-index view: manifest + lazily opened segments, query operators."""
 
     def __init__(self, index_dir: str):
+        # accepts an index dir OR an alias file (blue/green switch:
+        # state/manifest.py set_alias) — resolved once at open time, so
+        # an already-open reader keeps serving its index across a flip
+        index_dir = mf.resolve_alias(index_dir)
         self.index_dir = index_dir
         self.manifest = mf.read_json(os.path.join(index_dir, "manifest.json"))
         if self.manifest is None:

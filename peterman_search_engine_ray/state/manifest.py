@@ -84,3 +84,35 @@ def input_fingerprint(paths: list[str]) -> dict:
         st = os.stat(p)
         out[p] = [st.st_size, st.st_mtime_ns]
     return out
+
+
+# -- index aliases (blue/green reindex switch) ---------------------------
+
+def set_alias(alias_path: str, index_dir: str) -> None:
+    """Atomically point an alias file at an index directory — the
+    blue/green reindex switch: build the new index beside the old one,
+    validate it, flip the alias, readers opened afterwards serve the new
+    index while in-flight readers keep their mmap'd segments.  Refuses a
+    target without a valid index manifest (never alias a half-built
+    dir).  The flip is a single ``os.replace`` (atomic on POSIX); on a
+    shared filesystem every node sees either the old or the new target,
+    never a torn pointer."""
+    target = os.path.abspath(index_dir)
+    if read_json(os.path.join(target, MANIFEST_NAME)) is None:
+        raise ValueError(
+            f"refusing to alias {target}: no valid index manifest")
+    atomic_write_json(alias_path, {"index_dir": target})
+
+
+def resolve_alias(path: str) -> str:
+    """Resolve ``path`` to an index dir: an alias file returns its
+    target; a directory passes through unchanged (so every CLI/API entry
+    accepts either)."""
+    if os.path.isdir(path):
+        return path
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no index dir or alias file at {path}")
+    a = read_json(path)
+    if not a or "index_dir" not in a:
+        raise ValueError(f"{path} is neither an index dir nor an alias file")
+    return a["index_dir"]

@@ -942,3 +942,32 @@ def test_reader_io_counters_prove_pruning(ray_session, tmp_path_factory):
                                   theta0=float(sx[0]))
     assert dq.tolist() == dx.tolist() and sq.tolist() == sx.tolist()
     assert r.io_counters()["pruned_candidates"] > 0
+
+
+def test_alias_blue_green_switch(built, ray_session, tmp_path):
+    """Alias file atomically flips readers between two live indexes;
+    refuses dangling targets; plain dirs pass through everywhere."""
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    from peterman_search_engine_ray.state import manifest as mf
+    _, _, _, idx_a, cfg = built
+    idx_b = str(tmp_path / "idx_b")
+    # a different (smaller) corpus so the two indexes are distinguishable
+    build_index(synth_webpages(17), idx_b, cfg)
+    alias = str(tmp_path / "current.alias")
+
+    mf.set_alias(alias, idx_a)
+    ra = IndexReader(alias)
+    assert ra.index_dir == mf.resolve_alias(alias)
+    n_a = ra.n_docs
+
+    mf.set_alias(alias, idx_b)                    # the blue/green flip
+    rb = IndexReader(alias)
+    assert rb.n_docs == 17 and n_a != rb.n_docs
+    assert ra.n_docs == n_a                       # in-flight reader unaffected
+
+    with pytest.raises(ValueError, match="manifest"):
+        mf.set_alias(alias, str(tmp_path / "nope"))   # refuse half-built dir
+    assert mf.resolve_alias(alias) == os.path.abspath(idx_b)  # flip survived
+    with pytest.raises(FileNotFoundError):
+        IndexReader(str(tmp_path / "missing"))
