@@ -971,3 +971,55 @@ def test_alias_blue_green_switch(built, ray_session, tmp_path):
     assert mf.resolve_alias(alias) == os.path.abspath(idx_b)  # flip survived
     with pytest.raises(FileNotFoundError):
         IndexReader(str(tmp_path / "missing"))
+
+
+def test_text_dir_source_end_to_end(ray_session, tmp_path):
+    """Reference-shaped ingestion: a directory of numbered .txt files
+    indexes end-to-end and queries identically to the same corpus fed
+    through the synthetic-webpage path."""
+    from peterman_search_engine_ray.corpus import _wrap_batch, synth_rows
+    from peterman_search_engine_ray.pipelines.build import build_index
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    from peterman_search_engine_ray.sources.textdir import read_text_dir
+    rows = synth_rows(20).to_pandas()
+    d = tmp_path / "webpages"
+    d.mkdir()
+    for _, r in rows.iterrows():
+        (d / f"{int(r['doc_id'])}.txt").write_text(r["text"])
+    ds = read_text_dir(str(d))
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(range(20))
+    assert got["text"].tolist() == rows["text"].tolist()
+    idx = str(tmp_path / "idx_txt")
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=4,
+                      block_size=8, positional=True)
+    build_index(ds.map_batches(_wrap_batch, batch_format="pyarrow"), idx, cfg)
+    r = IndexReader(idx)
+    assert r.n_docs == 20
+    oracle = FullScanOracle(synth_rows(20).to_pandas())
+    assert sorted(r.search_keyword("apple")) == sorted(
+        oracle.search_or(["apple"]))
+    # non-numeric stems fall back to dense ordinals
+    d2 = tmp_path / "named"
+    d2.mkdir()
+    for name, txt in [("alpha", "x"), ("beta", "y")]:
+        (d2 / f"{name}.txt").write_text(txt)
+    got2 = read_text_dir(str(d2)).to_pandas().sort_values("doc_id")
+    assert list(got2["doc_id"]) == [0, 1]
+
+
+def test_jsonl_source_matches_parquet(ray_session, tmp_path):
+    """JSONL shards get the same dense per-file-offset doc_ids as the
+    parquet reader, across multiple shards."""
+    import json as _json
+    from peterman_search_engine_ray.sources.jsonl import read_webpages_jsonl
+    rows = [{"url": f"u{i}", "text": f"doc {i} words", "lang": "en"}
+            for i in range(25)]
+    for shard, lo, hi in [("a", 0, 10), ("b", 10, 18), ("c", 18, 25)]:
+        with open(tmp_path / f"{shard}.jsonl", "w") as f:
+            for r in rows[lo:hi]:
+                f.write(_json.dumps(r) + "\n")
+    got = (read_webpages_jsonl(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(got["doc_id"]) == list(range(25))
+    assert got["url"].tolist() == [r["url"] for r in rows]
