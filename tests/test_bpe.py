@@ -104,6 +104,35 @@ def test_vocab_counts_matches_reference_loop(ray_session):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
 
 
+def test_sql_rewrite_matches_merge_word():
+    """The oracle's window-function rewrite (gaps-and-islands run-parity)
+    == merge_word, executed in DuckDB itself — pins the oracle property
+    against DuckDB behavior changes."""
+    import duckdb
+    con = duckdb.connect()
+    random.seed(13)
+    cases = {f"w{i}": [random.choice("ab") for _ in range(random.randint(2, 10))]
+             for i in range(60)}
+    cases["runs3"] = list("aaa")
+    cases["runs5"] = list("aaaaa")
+    con.execute("CREATE TABLE st AS SELECT * FROM (VALUES " + ",".join(
+        f"('{w}', {list(sy)!r}::VARCHAR[])" for w, sy in cases.items())
+        + ") t(w, sy)")
+    for a, b in [("a", "a"), ("a", "b"), ("b", "a")]:
+        got = dict(con.execute(f"""
+WITH ex AS (SELECT w, UNNEST(sy) AS s, UNNEST(range(1, len(sy)+1)) AS i FROM st),
+m AS (SELECT w, s, i, lead(s) OVER (PARTITION BY w ORDER BY i) AS ns,
+        (s = '{a}' AND lead(s) OVER (PARTITION BY w ORDER BY i) = '{b}') AS im
+      FROM ex),
+g AS (SELECT *, CASE WHEN im THEN i - ROW_NUMBER() OVER (PARTITION BY w, im ORDER BY i) END AS grp FROM m),
+p AS (SELECT *, im AND (ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY i) % 2 = 1) AS dm FROM g),
+d AS (SELECT *, COALESCE(lag(dm) OVER (PARTITION BY w ORDER BY i), FALSE) AS dropped FROM p)
+SELECT w, list(CASE WHEN dm THEN s || ns ELSE s END ORDER BY i)
+FROM d WHERE NOT dropped GROUP BY w""").fetchall())
+        for w, sy in cases.items():
+            assert got[w] == merge_word(sy, a, b), (w, sy, a, b)
+
+
 def test_run_parity_equals_left_to_right_exhaustive():
     # run-parity is how the SQL oracle rewrites; prove it equals the
     # left-to-right loop on every ≤6-symbol binary sequence × all pairs
