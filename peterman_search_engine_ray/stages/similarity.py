@@ -241,7 +241,19 @@ class IvfAnnIndex:
             C[live] = _norm_rows(sums[live] / counts[live, None])
 
         self.centroids = C
-        cref = ray.put(C)
+        self._assign_write(ds)
+        # beside the data dir — parquet readers of self.path must not
+        # trip on a stray npy (same rule as curate's manifest)
+        np.save(os.path.normpath(self.path) + ".centroids.npy", C)
+        self._cache.clear()
+        return self
+
+    def _assign_write(self, ds: "ray.data.Dataset") -> None:
+        """Assign each vector to its nearest (frozen) centroid and write
+        parquet partitioned by cell; new files append beside existing
+        ones, so the same pass serves both build and extend."""
+        id_col, emb_col = self.id_col, self.emb_col
+        cref = ray.put(self.centroids)
 
         def assign_batch(batch: pa.Table) -> pa.Table:
             M = _norm_rows(np.stack(
@@ -255,9 +267,22 @@ class IvfAnnIndex:
 
         (ds.map_batches(assign_batch, batch_format="pyarrow")
            .write_parquet(self.path, partition_cols=["cent"]))
-        # beside the data dir — parquet readers of self.path must not
-        # trip on a stray npy (same rule as curate's manifest)
-        np.save(os.path.normpath(self.path) + ".centroids.npy", C)
+
+    def extend(self, emb_ds: "ray.data.Dataset") -> "IvfAnnIndex":
+        """Incremental add — the vector-side LSM analog of
+        ``extend_index``: new vectors are assigned under the FROZEN
+        coarse quantizer (the standard IVF add; no retrain) and their
+        parquet files APPEND into the existing centroid partitions —
+        existing cells are never rewritten, so a crawl delta's cost is
+        proportional to the delta, not the index.  Queries over the
+        extended index are identical to assigning the union corpus under
+        the same centroids in one pass (tested)."""
+        assert self.path is not None, "call build() first"
+        if self.centroids is None:
+            self.centroids = np.load(
+                os.path.normpath(self.path) + ".centroids.npy")
+        self._assign_write(
+            emb_ds.select_columns([self.id_col, self.emb_col]))
         self._cache.clear()
         return self
 

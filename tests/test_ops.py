@@ -460,6 +460,43 @@ def test_ivf_ann(ray_session, tmp_path):
     assert np.all(np.diff(cos) <= 1e-12)      # descending
 
 
+def test_ivf_extend_equals_union_assign(ray_session, tmp_path):
+    """Incremental IVF add (frozen quantizer, appended partitions) ==
+    assigning the union corpus under the same centroids in one pass, and
+    recovers the exact top-k on clustered data."""
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.similarity import (IvfAnnIndex,
+                                                              cosine_topk)
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 16) * 6
+    M = np.concatenate([c + rng.randn(50, 16) for c in centers])
+    perm = rng.permutation(len(M))          # interleave clusters A/B
+    half_a, half_b = np.sort(perm[:100]), np.sort(perm[100:])
+
+    def mk(idx):
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(idx.astype(np.int64)),
+            "embedding": pa.array([M[i].tolist() for i in idx],
+                                  pa.list_(pa.float32()))}))
+
+    ivf = IvfAnnIndex(n_centroids=8, dim=16, iters=4,
+                      path=str(tmp_path / "a")).build(mk(half_a))
+    ivf.extend(mk(half_b))
+    # reference: same centroids, union assigned in one pass
+    ref = IvfAnnIndex(n_centroids=8, dim=16, path=str(tmp_path / "u"))
+    ref.id_col, ref.emb_col = "vec_id", "embedding"
+    ref.centroids = ivf.centroids.copy()
+    ref._assign_write(mk(np.arange(len(M))))
+    full = mk(np.arange(len(M)))
+    for qi in (3, 77, 150):
+        q = M[qi].astype(np.float64)
+        ids_e, cos_e = ivf.query(q, k=5, nprobe=4)
+        ids_r, cos_r = ref.query(q, k=5, nprobe=4)
+        assert ids_e.tolist() == ids_r.tolist()
+        np.testing.assert_allclose(cos_e, cos_r, rtol=0, atol=0)
+        assert ids_e.tolist() == cosine_topk(full, q, k=5)["vec_id"].tolist()
+
+
 def test_vectorized_sketch_kernels_match_per_doc():
     """The batch-vectorized MinHash/SimHash kernels must be bit-identical
     to their per-doc reference methods on empty/short/unicode/dup texts."""
