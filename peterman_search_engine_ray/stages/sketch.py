@@ -137,3 +137,60 @@ def top_terms_exact(docs: "ray.data.Dataset", k: int = 20, m: int = 4096
             f"increase m (currently {m})")
     out["n"] = out["n"].astype(np.int64)
     return out
+
+
+# -- Count-Min sketch (Cormode–Muthukrishnan 2005) ------------------------
+
+CMS_DEPTH, CMS_WIDTH = 4, 512
+
+
+def cms_cells(terms, tfs: np.ndarray, depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> pa.Table:
+    """Occurrence-weighted Count-Min cell partials for one block of
+    (term, tf) rows: the bloom double-hash positions per depth row,
+    exact int64 scatter-add — ≤ depth·width rows out per block."""
+    from .bloom import bit_positions
+    pos = bit_positions(terms, m_bits=width, k=depth)   # (n, depth)
+    rows, cells, cnts = [], [], []
+    for i in range(depth):
+        uk, inv = np.unique(pos[:, i].astype(np.int64), return_inverse=True)
+        c = np.zeros(len(uk), np.int64)
+        np.add.at(c, inv, tfs)
+        rows.append(np.full(len(uk), i, np.int64))
+        cells.append(uk)
+        cnts.append(c)
+    return pa.table({"row": pa.array(np.concatenate(rows)),
+                     "cell": pa.array(np.concatenate(cells)),
+                     "cnt": pa.array(np.concatenate(cnts))})
+
+
+def cms_build(term_tf_ds: "ray.data.Dataset", depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> np.ndarray:
+    """(depth, width) int64 sketch from a (term, tf) Dataset — map-side
+    cell partials, constant (depth·width) driver combine.  Mergeable by
+    construction: sketches of shards ADD."""
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"row": pa.array([], pa.int64()),
+                             "cell": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return cms_cells(batch["term"].to_pylist(),
+                         batch["tf"].to_numpy(), depth, width)
+
+    parts = (term_tf_ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    M = np.zeros((depth, width), np.int64)
+    if len(parts):
+        np.add.at(M, (parts["row"].to_numpy(np.int64),
+                      parts["cell"].to_numpy(np.int64)),
+                  parts["cnt"].to_numpy(np.int64))
+    return M
+
+
+def cms_query(M: np.ndarray, terms: list[str]) -> np.ndarray:
+    """Point-frequency estimates: min over depth rows — never an
+    undercount, overcounts bounded by e·N/width w.h.p."""
+    from .bloom import bit_positions
+    pos = bit_positions(terms, m_bits=M.shape[1], k=M.shape[0])
+    return M[np.arange(M.shape[0])[None, :],
+             pos.astype(np.int64)].min(axis=1).astype(np.int64)

@@ -460,6 +460,46 @@ def test_ivf_ann(ray_session, tmp_path):
     assert np.all(np.diff(cos) <= 1e-12)      # descending
 
 
+def test_count_min_sketch(ray_session):
+    """CMS never undercounts; shard sketches ADD (mergeable); a forced
+    tiny width produces overcounts that equal the brute-force cells."""
+    import ray.data as rd
+    from peterman_search_engine_ray.stages.bloom import bit_positions
+    from peterman_search_engine_ray.stages.sketch import cms_build, cms_query
+    rng = np.random.default_rng(2)
+    vocab = [f"t{i}" for i in range(300)]
+    terms = list(rng.choice(vocab, 2000))
+    tf = rng.integers(1, 9, 2000).astype(np.int64)
+    exact = {}
+    for t, c in zip(terms, tf):
+        exact[t] = exact.get(t, 0) + int(c)
+    ds = rd.from_arrow(pa.table({"term": pa.array(terms, pa.string()),
+                                 "tf": pa.array(tf)})).repartition(4)
+    M = cms_build(ds)
+    probes = vocab[:50] + ["absent1", "absent2"]
+    est = cms_query(M, probes)
+    assert all(e >= exact.get(t, 0) for t, e in zip(probes, est))
+    # mergeable: sketch(shard1) + sketch(shard2) == sketch(all)
+    half = rd.from_arrow(pa.table({"term": pa.array(terms[:1000], pa.string()),
+                                   "tf": pa.array(tf[:1000])}))
+    rest = rd.from_arrow(pa.table({"term": pa.array(terms[1000:], pa.string()),
+                                   "tf": pa.array(tf[1000:])}))
+    assert (cms_build(half) + cms_build(rest) == M).all()
+    # tiny width -> real collisions; estimates equal brute-force cells
+    w, d = 16, 4
+    Ms = cms_build(ds, depth=d, width=w)
+    pos = bit_positions(vocab, m_bits=w, k=d)
+    cell_sum = np.zeros((d, w), np.int64)
+    for t, p in zip(vocab, pos):
+        for i in range(d):
+            cell_sum[i, int(p[i])] += exact.get(t, 0)
+    got = cms_query(Ms, vocab[:30])
+    exp = [min(cell_sum[i, int(p[i])] for i in range(d))
+           for p in pos[:30]]
+    assert got.tolist() == exp
+    assert any(g > exact[t] for g, t in zip(got, vocab[:30]))  # overcounts
+
+
 def test_ivf_extend_equals_union_assign(ray_session, tmp_path):
     """Incremental IVF add (frozen quantizer, appended partitions) ==
     assigning the union corpus under the same centroids in one pass, and
