@@ -617,3 +617,43 @@ def triangle_count_ray(edges_ds: "ray.data.Dataset",
     return pd.DataFrame({
         "triangles": pd.Series([int(parts["tri"].sum())], dtype=np.int64),
         "wedges": pd.Series([int(parts["wed"].sum())], dtype=np.int64)})
+
+
+def bfs_levels_ray(edges_ds: "ray.data.Dataset", source: int,
+                   max_level: int = 3,
+                   num_parts: int | None = None) -> pd.DataFrame:
+    """Directed BFS from ``source``: (level, n_nodes) for levels
+    0..max_level.  Partition-once traversal: edges hash-partition by
+    ``src`` a single time; each round broadcasts the frontier id array
+    via ``ray.put`` and every block emits the out-neighbors of its local
+    frontier edges — one map-only job per level, no per-round shuffle.
+    Driver state is the visited id array (node-scale, the accepted
+    graph-serving bound)."""
+    from ..stages.shuffle import hash_partition
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    n_parts = num_parts or min(16, max(4, cpus))
+    parts = hash_partition(edges_ds, ["src"], n_parts).materialize()
+
+    visited = np.array([source], dtype=np.int64)
+    frontier = visited.copy()
+    rows = [{"level": 0, "n_nodes": 1}]
+    for lvl in range(1, max_level + 1):
+        fref = ray.put(frontier)
+
+        def step(batch: pa.Table) -> pa.Table:
+            f = ray.get(fref)
+            m = np.isin(batch["src"].to_numpy(), f)
+            return pa.table({"dst": pa.array(
+                np.unique(batch["dst"].to_numpy()[m]), pa.int64())})
+
+        nxt = parts.map_batches(step, batch_format="pyarrow").to_pandas()
+        cand = (np.unique(nxt["dst"].to_numpy(np.int64))
+                if len(nxt) else np.empty(0, np.int64))
+        frontier = cand[~np.isin(cand, visited)]
+        if frontier.size == 0:
+            break
+        visited = np.union1d(visited, frontier)
+        rows.append({"level": lvl, "n_nodes": int(frontier.size)})
+    out = pd.DataFrame(rows, columns=["level", "n_nodes"])
+    return out.astype({"level": np.int64, "n_nodes": np.int64})

@@ -1179,6 +1179,46 @@ def test_lpa_label_propagation(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_bfs_levels(ray_session):
+    """Partition-once BFS == a single-process reference on random
+    directed graphs; stops when the frontier dries up."""
+    import ray.data as rd
+    from peterman_search_engine_ray.pipelines.pagerank import bfs_levels_ray
+
+    def ref_bfs(df, src, max_level):
+        adj: dict = {}
+        for s, d in zip(df["src"], df["dst"]):
+            adj.setdefault(int(s), set()).add(int(d))
+        visited, frontier = {src}, {src}
+        rows = [(0, 1)]
+        for lvl in range(1, max_level + 1):
+            nxt = set()
+            for u in frontier:
+                nxt |= adj.get(u, set())
+            nxt -= visited
+            if not nxt:
+                break
+            visited |= nxt
+            frontier = nxt
+            rows.append((lvl, len(nxt)))
+        return pd.DataFrame(rows, columns=["level", "n_nodes"]) \
+            .astype(np.int64)
+
+    rng = np.random.default_rng(17)
+    for _ in range(3):
+        df = pd.DataFrame({
+            "src": rng.integers(0, 40, 150).astype(np.int64),
+            "dst": rng.integers(0, 40, 150).astype(np.int64)})
+        got = bfs_levels_ray(rd.from_pandas(df).repartition(4), 0,
+                             max_level=4)
+        pd.testing.assert_frame_equal(got, ref_bfs(df, 0, 4))
+    # isolated source: single level-0 row
+    tiny = pd.DataFrame({"src": np.array([5], np.int64),
+                         "dst": np.array([6], np.int64)})
+    got = bfs_levels_ray(rd.from_pandas(tiny), 99, max_level=3)
+    assert got.to_dict("records") == [{"level": 0, "n_nodes": 1}]
+
+
 def test_graph_edge_guards(ray_session):
     """Empty inputs return empty frames (not crashes); packed edge keys
     refuse out-of-range ids instead of silently corrupting counts."""
