@@ -288,6 +288,22 @@ class IndexReader:
         tp = self.term_partition(term)
         return [self._segment(tp, dr) for dr in self._by_tp.get(tp, [])]
 
+    def pin(self) -> "IndexReader":
+        """Eagerly open (mmap) every segment this reader's manifest
+        names, making the reader SNAPSHOT-ISOLATED across concurrent
+        ``extend_index`` / ``compact_index`` runs: those rewrite touched
+        ``seg-tp-dr`` files via atomic rename, which unlinks the old
+        inode — an already-open mmap keeps serving the old bytes (POSIX
+        inode retention), while a segment opened only AFTER the rewrite
+        would read the new file against this reader's old manifest.
+        Cost is one fd + lazy mmap per segment (no data is paged in).
+        Un-pinned readers must be re-opened after an in-place index
+        mutation; fresh readers always see the new state (tested)."""
+        for tp, drs in self._by_tp.items():
+            for dr in drs:
+                self._segment(tp, dr)
+        return self
+
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Global (doc_ids, tf, dl), doc-range segments concatenated in
         doc_id order (disjoint ascending ranges — no merge needed).

@@ -1023,3 +1023,36 @@ def test_jsonl_source_matches_parquet(ray_session, tmp_path):
            .sort_values("doc_id").reset_index(drop=True))
     assert list(got["doc_id"]) == list(range(25))
     assert got["url"].tolist() == [r["url"] for r in rows]
+
+
+def test_pinned_reader_snapshot_isolated_across_extend(ray_session,
+                                                       tmp_path):
+    """A pinned reader keeps serving the pre-extend corpus while
+    extend_index rewrites shared doc ranges in place (mmap inode
+    retention); a reader opened afterwards sees the extended corpus."""
+    import ray.data as rd
+    from peterman_search_engine_ray.corpus import _wrap_batch
+    from peterman_search_engine_ray.pipelines.build import (build_index,
+                                                            extend_index)
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=4,
+                      block_size=8, positional=True)
+    all_rows = synth_rows(60)
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(_wrap_batch(all_rows.slice(0, 40))), idx, cfg,
+                input_token="A")
+    old = IndexReader(idx).pin()
+    terms = ("apple", "banana", "cherry", "kiwi", "mango")
+    pre = {t: old.search_keyword(t).tolist() for t in terms}
+    pre_n = old.n_docs
+
+    extend_index(rd.from_arrow(_wrap_batch(all_rows.slice(40, 20))), idx, cfg)
+
+    post_old = {t: old.search_keyword(t).tolist() for t in terms}
+    assert post_old == pre and old.n_docs == pre_n     # snapshot held
+    new = IndexReader(idx)
+    assert new.n_docs == 60
+    grew = {t: new.search_keyword(t).tolist() for t in terms}
+    assert any(len(grew[t]) > len(pre[t]) for t in terms)
+    for t in terms:                                    # superset per term
+        assert set(pre[t]) <= set(grew[t])
