@@ -635,6 +635,7 @@ def extend_index(corpus_new: "ray.data.Dataset", index_dir: str,
     import time as _time
     import uuid as _uuid
     cfg = cfg or IndexConfig()
+    index_dir = mf.resolve_alias(index_dir)   # aliases accepted everywhere
     manifest_path = os.path.join(index_dir, "manifest.json")
     m = mf.read_json(manifest_path)
     if not m:
@@ -769,6 +770,7 @@ def compact_index(index_dir: str, cfg: IndexConfig | None = None) -> dict:
     is cleared.
     """
     cfg = cfg or IndexConfig()
+    index_dir = mf.resolve_alias(index_dir)   # aliases accepted everywhere
     manifest_path = os.path.join(index_dir, "manifest.json")
     m = mf.read_json(manifest_path)
     if not m:
@@ -963,6 +965,8 @@ def merge_indexes(index_a: str, index_b: str, out_dir: str,
     """
     import shutil as _shutil
     cfg = cfg or IndexConfig()
+    index_a = mf.resolve_alias(index_a)       # aliases accepted everywhere
+    index_b = mf.resolve_alias(index_b)
     ma = mf.read_json(os.path.join(index_a, "manifest.json"))
     mb = mf.read_json(os.path.join(index_b, "manifest.json"))
     if not ma or not mb:

@@ -289,19 +289,26 @@ class IndexReader:
         return [self._segment(tp, dr) for dr in self._by_tp.get(tp, [])]
 
     def pin(self) -> "IndexReader":
-        """Eagerly open (mmap) every segment this reader's manifest
-        names, making the reader SNAPSHOT-ISOLATED across concurrent
-        ``extend_index`` / ``compact_index`` runs: those rewrite touched
-        ``seg-tp-dr`` files via atomic rename, which unlinks the old
-        inode — an already-open mmap keeps serving the old bytes (POSIX
-        inode retention), while a segment opened only AFTER the rewrite
-        would read the new file against this reader's old manifest.
-        Cost is one fd + lazy mmap per segment (no data is paged in).
-        Un-pinned readers must be re-opened after an in-place index
-        mutation; fresh readers always see the new state (tested)."""
+        """Eagerly open every segment this reader's manifest names AND
+        materialize the tombstone set, making QUERY RESULTS (postings,
+        boolean/phrase/ranked search) snapshot-isolated across
+        concurrent ``extend_index`` / ``compact_index`` runs: those
+        rewrite touched ``seg-tp-dr`` files via atomic rename, which
+        unlinks the old inode — an already-open mmap keeps serving the
+        old bytes (POSIX inode retention), while a segment opened only
+        AFTER the rewrite would read the new file against this reader's
+        old manifest.  Scope: ``get_docs`` (the forward store) is NOT
+        pinned — forward partitions open per call, so pinned readers
+        should treat doc-content fetches as live reads.  Cost: one fd +
+        lazy blob mmap per segment plus its term DIRECTORY (the
+        ``.dir.parquet``), which loads eagerly — budget directory bytes,
+        not just fds, when pinning a large index.  Un-pinned readers
+        must be re-opened after an in-place index mutation; fresh
+        readers always see the new state (tested)."""
         for tp, drs in self._by_tp.items():
             for dr in drs:
                 self._segment(tp, dr)
+        self._tombstones()          # freeze the deletion set too
         return self
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

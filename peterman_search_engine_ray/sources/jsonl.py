@@ -42,8 +42,13 @@ def read_webpages_jsonl(input_path: str, suffix: str = ".jsonl"
     paths = ray.data.from_arrow(
         pa.table({"path": pa.array(files, pa.string())}))
 
+    def _rows(p: str) -> int:
+        # a zero-byte shard is a normal empty crawl partition, but
+        # pyarrow.json raises ArrowInvalid("Empty JSON file") on it
+        return 0 if os.path.getsize(p) == 0 else pj.read_json(p).num_rows
+
     def count(batch: pa.Table) -> pa.Table:
-        ns = [pj.read_json(p).num_rows for p in batch["path"].to_pylist()]
+        ns = [_rows(p) for p in batch["path"].to_pylist()]
         return pa.table({"path": batch["path"],
                          "n": pa.array(ns, pa.int64())})
 
@@ -58,12 +63,16 @@ def read_webpages_jsonl(input_path: str, suffix: str = ".jsonl"
     def load(batch: pa.Table) -> pa.Table:
         out = []
         for p in batch["path"].to_pylist():
+            if os.path.getsize(p) == 0:
+                continue
             t = pj.read_json(p)
             if "doc_id" not in t.column_names:
                 ids = pa.array(
                     np.arange(t.num_rows, dtype=np.int64) + offsets[p])
                 t = t.add_column(0, "doc_id", ids)
             out.append(t)
+        if not out:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
         return pa.concat_tables(out)
 
     return (paths.repartition(len(files))

@@ -1019,6 +1019,7 @@ def test_jsonl_source_matches_parquet(ray_session, tmp_path):
         with open(tmp_path / f"{shard}.jsonl", "w") as f:
             for r in rows[lo:hi]:
                 f.write(_json.dumps(r) + "\n")
+    (tmp_path / "d.jsonl").write_text("")     # empty shard = 0 rows, not a crash
     got = (read_webpages_jsonl(str(tmp_path)).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     assert list(got["doc_id"]) == list(range(25))
@@ -1056,3 +1057,46 @@ def test_pinned_reader_snapshot_isolated_across_extend(ray_session,
     assert any(len(grew[t]) > len(pre[t]) for t in terms)
     for t in terms:                                    # superset per term
         assert set(pre[t]) <= set(grew[t])
+
+
+def test_pin_freezes_tombstones_across_compact(ray_session, tmp_path):
+    """A pinned-but-not-yet-queried reader must not resurrect a deleted
+    doc when compact_index clears tombstones.json under it."""
+    import ray.data as rd
+    from peterman_search_engine_ray.corpus import _wrap_batch
+    from peterman_search_engine_ray.pipelines.build import (build_index,
+                                                            compact_index)
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=4,
+                      block_size=8, positional=True)
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(_wrap_batch(synth_rows(30))), idx, cfg)
+    victim = int(IndexReader(idx).search_keyword("grape")[0])
+    IndexReader(idx).delete_documents([victim])
+    pinned = IndexReader(idx).pin()          # no query yet
+    compact_index(idx, cfg)                  # clears tombstones.json
+    assert victim not in pinned.search_keyword("grape").tolist()
+    assert victim not in IndexReader(idx).search_keyword("grape").tolist()
+
+
+def test_alias_accepted_by_extend(ray_session, tmp_path):
+    """Write-path operations (extend_index et al.) resolve alias files,
+    as the CLI contract promises."""
+    import ray.data as rd
+    from peterman_search_engine_ray.corpus import _wrap_batch
+    from peterman_search_engine_ray.pipelines.build import (build_index,
+                                                            extend_index)
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    from peterman_search_engine_ray.state import manifest as mf
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=4,
+                      block_size=8, positional=True)
+    rows = synth_rows(40)
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(_wrap_batch(rows.slice(0, 30))), idx, cfg,
+                input_token="A")
+    alias = str(tmp_path / "cur")
+    mf.set_alias(alias, idx)
+    m = extend_index(rd.from_arrow(_wrap_batch(rows.slice(30, 10))),
+                     alias, cfg)
+    assert m["n_docs"] == 40
+    assert IndexReader(alias).n_docs == 40
