@@ -546,6 +546,7 @@ def triangle_count_ray(edges_ds: "ray.data.Dataset",
     nodes, inv = np.unique(p["node"].to_numpy(), return_inverse=True)
     deg = np.zeros(nodes.size, np.int64)
     np.add.at(deg, inv, p["deg"].to_numpy())
+    wedges_all = int((deg * (deg - 1) // 2).sum())   # Σ C(deg,2), exact
     rank = np.lexsort((nodes, deg))
     rpos = np.empty(nodes.size, np.int64)
     rpos[rank] = np.arange(nodes.size)
@@ -614,9 +615,11 @@ def triangle_count_ray(edges_ds: "ray.data.Dataset",
 
     parts = (hash_partition(wedges.union(tagged_edges), ["a", "b"], n_parts)
              .map_batches(count_tris, batch_format="pyarrow").to_pandas())
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "triangles": pd.Series([int(parts["tri"].sum())], dtype=np.int64),
         "wedges": pd.Series([int(parts["wed"].sum())], dtype=np.int64)})
+    out.attrs["wedges_all"] = wedges_all   # Σ C(deg,2) for clustering coeff
+    return out
 
 
 def bfs_levels_ray(edges_ds: "ray.data.Dataset", source: int,
