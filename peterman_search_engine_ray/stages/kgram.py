@@ -43,8 +43,13 @@ from ..state import manifest as mf
 KGRAM_K = 2          # boundary-marked bigrams: shortest probe-able literal = 1
                      # anchored char or 2 free chars
 NUM_BUCKETS = 16
-_MAX_TERM_LEN = 64   # grams beyond this prefix are dropped (terms this long
-                     # are noise; the exact post-filter still applies)
+_MAX_TERM_LEN = 64   # terms longer than this skip gram fan-out (bounds the
+                     # per-offset kernel loop) and land wholesale in the
+                     # overflow bucket below, which EVERY probe reads and
+                     # unions into its candidate set — the exact post-filter
+                     # then keeps only true matches, so no recall is lost
+OVERFLOW_BUCKET = NUM_BUCKETS   # b= value for the long-term overflow dir
+_LAYOUT = "kgram-v2"            # bump on on-disk layout changes
 
 
 def gram_bucket(gram: str, num_buckets: int = NUM_BUCKETS) -> int:
@@ -65,13 +70,20 @@ def _explode_grams(batch: pa.Table) -> pa.Table:
     """Vectorized term -> (gram, term) fan-out: decorate ``^t$``, slice
     every bigram offset with one Arrow kernel per offset (codepoint
     semantics, identical to Python slicing), distinct per batch."""
-    terms = pc.unique(batch["term"].combine_chunks())
+    terms = pc.unique(batch["term"].combine_chunks()).cast(pa.string())
+    long_mask = pc.greater(pc.utf8_length(terms), _MAX_TERM_LEN)
+    long_terms = terms.filter(long_mask)
+    terms = terms.filter(pc.invert(long_mask))
     dec = pc.binary_join_element_wise(
-        pa.array(["^"] * len(terms)), terms.cast(pa.string()),
+        pa.array(["^"] * len(terms)), terms,
         pa.array(["$"] * len(terms)), "")
-    max_len = min(_MAX_TERM_LEN + 2,
-                  int(pc.max(pc.utf8_length(dec)).as_py() or 0))
+    max_len = int(pc.max(pc.utf8_length(dec)).as_py() or 0) if len(dec) else 0
     parts = []
+    if len(long_terms):
+        # overflow rows: one per long term, sentinel gram, fixed bucket
+        parts.append(pa.table({
+            "gram": pa.array([""] * len(long_terms), pa.string()),
+            "term": long_terms}))
     for i in range(max(0, max_len - KGRAM_K + 1)):
         g = pc.utf8_slice_codeunits(dec, i, i + KGRAM_K)
         keep = pc.equal(pc.utf8_length(g), KGRAM_K)
@@ -86,7 +98,8 @@ def _explode_grams(batch: pa.Table) -> pa.Table:
            .group_by(["gram", "term"]).aggregate([]))
     grams = out["gram"].combine_chunks()
     uniq = pc.unique(grams)
-    bmap = {g: gram_bucket(g) for g in uniq.to_pylist()}
+    bmap = {g: (OVERFLOW_BUCKET if g == "" else gram_bucket(g))
+            for g in uniq.to_pylist()}
     b = pc.index_in(grams, uniq).to_numpy(zero_copy_only=False)
     bvals = np.array([bmap[g] for g in uniq.to_pylist()], np.int64)
     return out.append_column("b", pa.array(bvals[b], pa.int64()))
@@ -124,6 +137,7 @@ def build_term_dicts(dir_files: list[str], out_dir: str,
     from .shuffle import hash_partition
     mpath = os.path.join(out_dir, "MANIFEST.json")
     fp = mf.input_fingerprint(sorted(dir_files))
+    fp["__layout__"] = _LAYOUT
     if mf.manifest_valid(mpath, fp):
         return out_dir
     import shutil
@@ -178,9 +192,20 @@ def kgram_candidates(kgram_dir: str, branches: list[list[str]],
             if not cand:
                 break
         out |= cand
+    # Terms longer than _MAX_TERM_LEN never got gram fan-out; they live in
+    # the overflow bucket, which every probe unions in wholesale so the
+    # caller's exact post-filter sees them — no recall loss on long terms.
+    opath = os.path.join(kgram_dir, f"b={OVERFLOW_BUCKET}")
+    n_over = 0
+    if os.path.isdir(opath):
+        ot = pads.dataset(opath, format="parquet").to_table(columns=["term"])
+        n_over = ot.num_rows
+        rows += n_over
+        out |= set(ot["term"].to_pylist())
     if stats is not None:
-        stats.update(buckets_read=len(paths), posting_rows_read=rows,
-                     grams_probed=len(need), candidates=len(out))
+        stats.update(buckets_read=len(paths) + (1 if n_over else 0),
+                     posting_rows_read=rows, grams_probed=len(need),
+                     overflow_terms=n_over, candidates=len(out))
     return sorted(out)
 
 

@@ -88,6 +88,44 @@ def test_short_literal_refuses(dicts):
         kgram_candidates(os.path.join(dicts, "kgram"), [[]])
 
 
+LONG_A = "x" * 70 + "needleterm"          # probe gram lives past char 64
+LONG_B = "z" * 80 + "tailsuffix"
+
+
+def test_long_term_overflow_recall(ray_session, tmp_path_factory):
+    """Terms longer than the gram cap must still be discoverable by ANY
+    probe (ADVICE r4: grams past char 64 were silently dropped, so
+    infix/'$'-anchored probes missed long terms entirely).  They now ride
+    the overflow bucket, which every probe unions in."""
+    root = tmp_path_factory.mktemp("kgram_long")
+    vocab = VOCAB + [LONG_A, LONG_B]
+    src = os.path.join(root, "dir0.parquet")
+    pq.write_table(pa.table({"term": pa.array(vocab)}), src)
+    out = os.path.join(root, "termdict")
+    build_term_dicts([src], out)
+    # infix gram entirely past position 64 of LONG_A
+    stats = {}
+    cand = kgram_candidates(os.path.join(out, "kgram"),
+                            [literal_grams("needle")], stats)
+    assert LONG_A in cand and stats["overflow_terms"] == 2
+    # '$'-anchored gram of LONG_B's tail
+    cand2 = kgram_candidates(os.path.join(out, "kgram"),
+                             [literal_grams("tailsuffix$")])
+    assert LONG_B in cand2
+    # short-term probes are unchanged and still scan-free: overflow adds
+    # only the (tiny) long-term set, never the vocabulary
+    stats3 = {}
+    cand3 = kgram_candidates(os.path.join(out, "kgram"),
+                             [literal_grams("^qu")], stats3)
+    keep = pc.starts_with(pa.array(cand3), "qu").to_pylist()
+    assert sorted(t for t, k in zip(cand3, keep) if k) == _brute(
+        lambda t: t.startswith("qu"))
+    assert stats3["posting_rows_read"] < len(vocab)
+    # reversed dict is uncapped: suffix probe finds the long term exactly
+    got = suffix_candidates(os.path.join(out, "rev"), "tailsuffix")
+    assert got == [LONG_B]
+
+
 def test_knn_candidates_ivf_bounded_and_recall(ray_session):
     """Bucketed kNN == exact kNN on cluster-structured data, with every
     task's candidate pool bounded far below all-pairs."""
