@@ -15,6 +15,12 @@ Two implementations with identical output:
 * :func:`pagerank_ray` — per-iteration ``map_batches`` (edge → contribution,
   with the score vector broadcast via ``ray.put``) + ``groupby(dst).sum``;
   the shape that scales when the edge list outgrows one node.
+
+At 10^10+ nodes even the broadcast score vector stops fitting; the
+production path is ``graph_sharded.pagerank_sharded`` (node-sharded score
+state, per-shard iteration tasks, no O(|V|) object anywhere) — the
+functions here remain the conformance twins the sharded engine is tested
+against.
 """
 
 from __future__ import annotations
