@@ -209,6 +209,44 @@ def kgram_candidates(kgram_dir: str, branches: list[list[str]],
     return sorted(out)
 
 
+def gram_posting_counts(kgram_dir: str, grams: list[str],
+                        stats: dict | None = None):
+    """Shared-distinct-gram counts for a fuzzy probe (IR §3.3.4): read
+    ONLY the probe grams' posting buckets (+ the long-term overflow) and
+    return (terms, n_shared_grams, overflow_terms).  Rows are distinct
+    (gram, term), so the per-term row count IS the distinct-shared-gram
+    count.  Everything is gram-posting-scale — never the vocabulary."""
+    import pyarrow.dataset as pads
+    need = sorted(set(grams))
+    if not need:
+        raise ValueError("probe has no grams")
+    buckets = sorted({gram_bucket(g) for g in need})
+    paths = [os.path.join(kgram_dir, f"b={b}") for b in buckets
+             if os.path.isdir(os.path.join(kgram_dir, f"b={b}"))]
+    rows = 0
+    terms = np.empty(0, object)
+    counts = np.empty(0, np.int64)
+    if paths:
+        dset = pads.dataset([pads.dataset(p, format="parquet")
+                             for p in paths])
+        t = dset.to_table(columns=["term"],
+                          filter=pads.field("gram").isin(need))
+        rows = t.num_rows
+        terms, counts = np.unique(
+            np.asarray(t["term"].to_pylist(), object), return_counts=True)
+    over: list[str] = []
+    opath = os.path.join(kgram_dir, f"b={OVERFLOW_BUCKET}")
+    if os.path.isdir(opath):
+        ot = pads.dataset(opath, format="parquet").to_table(
+            columns=["term"])
+        rows += ot.num_rows
+        over = ot["term"].to_pylist()
+    if stats is not None:
+        stats.update(buckets_read=len(paths) + (1 if over else 0),
+                     posting_rows_read=rows, grams_probed=len(need))
+    return terms, counts.astype(np.int64), over
+
+
 def suffix_candidates(rev_dir: str, suffix: str,
                       stats: dict | None = None) -> list[str]:
     """Exact suffix matches via the reversed-term dictionary: ONE bucket
