@@ -91,17 +91,51 @@ def _make_apply_merge(a: str, b: str):
     ab = a + b
 
     def apply_merge(batch: pa.Table) -> pa.Table:
+        """Vectorized left-to-right non-overlapping (a, b) merge over
+        the whole block: candidate starts are an elementwise equality
+        over the flattened symbol array; left-to-right semantics reduce
+        to RUN PARITY (within each island of consecutive candidate
+        positions, every even-offset one merges — equals merge_word,
+        property-tested); the rewrite is one if_else + one filter on the
+        flat array and an offset shrink.  No per-row Python, no
+        whole-block to_pylist."""
         if batch.num_rows == 0:
             return batch
         hit = pc.match_substring(batch["w"], ab)
         if not pc.any(hit).as_py():
             return batch                  # common at deep iterations
-        idx = np.flatnonzero(np.asarray(hit.combine_chunks()))
-        sy = batch["sy"].to_pylist()
-        for i in idx:
-            sy[i] = merge_word(sy[i], a, b)
-        return pa.table({"w": batch["w"], "f": batch["f"],
-                         "sy": pa.array(sy, pa.list_(pa.string()))})
+        sy = batch["sy"].combine_chunks()
+        flat = sy.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) < 2:
+            return batch
+        offs = np.asarray(sy.offsets, np.int64)
+        lens = np.diff(offs)
+        widx = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        eqa = np.asarray(pc.equal(flat, pa.scalar(a)), bool)
+        eqb = np.asarray(pc.equal(flat, pa.scalar(b)), bool)
+        cand = eqa[:-1] & eqb[1:] & (widx[:-1] == widx[1:])
+        m = np.flatnonzero(cand)
+        if m.size == 0:
+            return batch
+        # islands of CONSECUTIVE candidate positions (only possible when
+        # the pattern self-overlaps, e.g. a == b): take even offsets
+        isl = m - np.arange(m.size)
+        first = np.concatenate(([True], isl[1:] != isl[:-1]))
+        island_start = np.maximum.accumulate(np.where(first, m, 0))
+        taken = m[(m - island_start) % 2 == 0]
+        start_mask = np.zeros(len(flat), bool)
+        start_mask[taken] = True
+        keep = np.ones(len(flat), bool)
+        keep[taken + 1] = False
+        new_flat = pc.if_else(pa.array(start_mask), pa.scalar(ab),
+                              flat).filter(pa.array(keep))
+        new_lens = lens - np.bincount(widx[taken], minlength=lens.size)
+        new_offs = np.concatenate(([0], np.cumsum(new_lens)))
+        new_sy = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), new_flat)
+        return pa.table({"w": batch["w"], "f": batch["f"], "sy": new_sy})
 
     return apply_merge
 

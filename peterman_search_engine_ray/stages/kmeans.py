@@ -78,8 +78,18 @@ def kmeans_topics(emb_ds: "ray.data.Dataset", k: int = 8, iters: int = 2,
     by ascending minimum member id and ``top_dim`` the centroid's
     largest dimension (ties → smallest index)."""
     ds = emb_ds.select_columns([id_col, emb_col])
-    init = ds.sort(id_col).limit(k).take(k)
-    C = np.stack([np.asarray(r[emb_col], np.float64) for r in init])
+    # seed with the k smallest ids WITHOUT a global sort: per-block
+    # k-smallest partials (the topk_per_group exchange shape) + a
+    # k·blocks-row driver merge — the global k-smallest is always a
+    # subset of the union of per-block k-smallest
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        sel = np.argsort(batch[id_col].to_numpy(), kind="stable")[:k]
+        return batch.select([id_col, emb_col]).take(pa.array(sel))
+
+    cand = (ds.map_batches(seed_partial, batch_format="pyarrow")
+            .to_pandas())
+    cand = cand.sort_values(id_col, kind="stable").head(k)
+    C = np.stack([np.asarray(v, np.float64) for v in cand[emb_col]])
     k, dim = C.shape
 
     sums = counts = min_id = None

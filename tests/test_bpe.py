@@ -47,6 +47,37 @@ def test_merge_word_run_parity_cases():
     assert merge_word(list("xy"), "q", "r") == ["x", "y"]
 
 
+def test_apply_merge_vectorized_equals_merge_word():
+    """The numpy run-parity rewrite (one if_else + filter over the flat
+    symbol array) == the per-row scalar merge_word on adversarial
+    shapes: self-overlap runs, cross-word boundaries, deep symbols,
+    randomized blocks."""
+    import itertools
+    import numpy as np
+    rng = np.random.RandomState(3)
+    words = ["aaa", "aaaa", "aaaaa", "abab", "xaby", "ba", "", "a", "b",
+             "aabbaabb", "bbaa"]
+    for n in range(4):   # randomized extra rows over a tiny alphabet
+        words.append("".join(rng.choice(list("ab"), size=rng.randint(0, 9))))
+    sy0 = [list(w) for w in words]
+    for a, b in itertools.product("ab", repeat=2):
+        batch = pa.table({
+            "w": pa.array(words, pa.string()),
+            "f": pa.array(np.ones(len(words), np.int64)),
+            "sy": pa.array(sy0, pa.list_(pa.string()))})
+        got = _make_apply_merge(a, b)(batch)["sy"].to_pylist()
+        want = [merge_word(s, a, b) for s in sy0]
+        assert got == want, (a, b)
+    # multi-char symbols (deep-iteration shape)
+    batch = pa.table({
+        "w": pa.array(["abcabc", "abab"], pa.string()),
+        "f": pa.array([1, 1], pa.int64()),
+        "sy": pa.array([["ab", "c", "ab", "c"], ["ab", "ab"]],
+                       pa.list_(pa.string()))})
+    got = _make_apply_merge("ab", "c")(batch)["sy"].to_pylist()
+    assert got == [["abc", "abc"], ["ab", "ab"]]
+
+
 def test_pair_partials_exact_counts():
     batch = pa.table({
         "w": ["abab", "aab"],
