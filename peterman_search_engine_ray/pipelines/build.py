@@ -368,7 +368,9 @@ def build_index(corpus: "ray.data.Dataset", index_dir: str,
     import shutil as _shutil
     fwd_tmp = fwd_dir + ".tmp"
     if resume_fwd:
-        tok = ray.data.read_parquet(fwd_dir,
+        # explicit live-file list: a dir-wide read would double-count a
+        # range whose compaction crashed between publish and unlink
+        tok = ray.data.read_parquet(mf.live_forward_files(fwd_dir),
                                     override_num_blocks=max(2 * ncpu, 8))
     else:
         _shutil.rmtree(fwd_tmp, ignore_errors=True)
@@ -679,11 +681,10 @@ def extend_index(corpus_new: "ray.data.Dataset", index_dir: str,
                 d = os.path.join(fwd_dir, f"r={dr}")
                 olds = []
                 if os.path.isdir(d):
-                    for fname in sorted(os.listdir(d)):
+                    for fname in mf.live_fragments(d):
                         # this generation's fragments are the NEW docs —
                         # everything else is the pre-existing corpus
-                        if fname.endswith(".parquet") and \
-                                not fname.startswith(f"{gen}-"):
+                        if not fname.startswith(f"{gen}-"):
                             olds.append(pq.read_table(os.path.join(d, fname)))
                 old = (explode_fn(pa.concat_tables(olds))
                        if olds else None)
@@ -709,7 +710,8 @@ def extend_index(corpus_new: "ray.data.Dataset", index_dir: str,
             "n": pa.array([bt.num_rows], pa.int64()),
             "s": pa.array([int(pc.sum(bt["doc_len"]).as_py() or 0)],
                           pa.int64())})
-    agg = (ray.data.read_parquet(fwd_dir, columns=["doc_len"])
+    agg = (ray.data.read_parquet(mf.live_forward_files(fwd_dir),
+                                 columns=["doc_len"])
            .map_batches(_dl_stats, batch_format="pyarrow").to_pandas())
     n_docs = int(agg["n"].sum())
     total_len = int(agg["s"].sum())
@@ -741,10 +743,8 @@ def extend_index(corpus_new: "ray.data.Dataset", index_dir: str,
 
 def _fwd_doc_stats(fwd_dir: str) -> tuple[int, int]:
     """(n_docs, total_len) from the checkpoint's pruned doc_len column."""
-    has_fwd = os.path.isdir(fwd_dir) and any(
-        f.endswith(".parquet")
-        for _, _, fs in os.walk(fwd_dir) for f in fs)
-    if not has_fwd:
+    files = mf.live_forward_files(fwd_dir)
+    if not files:
         return 0, 0
 
     def _dl(bt: pa.Table) -> pa.Table:
@@ -752,7 +752,7 @@ def _fwd_doc_stats(fwd_dir: str) -> tuple[int, int]:
             "n": pa.array([bt.num_rows], pa.int64()),
             "s": pa.array([int(pc.sum(bt["doc_len"]).as_py() or 0)],
                           pa.int64())})
-    agg = (ray.data.read_parquet(fwd_dir, columns=["doc_len"])
+    agg = (ray.data.read_parquet(files, columns=["doc_len"])
            .map_batches(_dl, batch_format="pyarrow").to_pandas())
     return int(agg["n"].sum()), int(agg["s"].sum())
 
@@ -797,9 +797,7 @@ def compact_index(index_dir: str, cfg: IndexConfig | None = None) -> dict:
         rows = []
         for dr in batch["dr"].to_pylist():
             rdir = os.path.join(fwd_dir, f"r={dr}")
-            frags = ([os.path.join(rdir, f) for f in sorted(os.listdir(rdir))
-                      if f.endswith(".parquet")]
-                     if os.path.isdir(rdir) else [])
+            frags = [os.path.join(rdir, f) for f in mf.live_fragments(rdir)]
             tbl = (pa.concat_tables([pq.read_table(f) for f in frags])
                    if frags else None)
             dead = ray.get(tomb_ref)
@@ -877,11 +875,17 @@ def auto_compact(index_dir: str, cfg: IndexConfig | None = None,
     each ingest generation side-writes new parquet fragments into the
     ``r=<range>/`` partitions it touches, and point-gets / later extends
     list-and-read every fragment in a range.  This policy rewrites any
-    range partition holding ≥ ``max_fragments`` fragment files into one
-    doc_id-sorted fragment — one Ray task per affected range, worker-side
-    IO only, untouched ranges never read.  Like ``extend_index`` it is
-    not crash-atomic mid-rewrite (re-run ``build_index(resume=True)`` to
-    reconverge); re-running it is otherwise idempotent.
+    range partition holding ≥ ``max_fragments`` LIVE fragment files into
+    one doc_id-sorted fragment — one Ray task per affected range,
+    worker-side IO only, untouched ranges never read.
+
+    Crash-safe at every instant (readers use ``mf.live_fragments``):
+    the rollup task publishes a ``cmp-X.srcs.json`` sidecar naming the
+    fragments it supersedes BEFORE the ``cmp-X.parquet`` lands, so a
+    crash leaves either (sources live, cmp absent → sidecar inert) or
+    (cmp + sidecar + sources → sources excluded) — never a duplicated
+    doc; a later run sweeps the leftover dead files.  Re-running is
+    idempotent.
 
     Returns {"ranges_compacted", "fragments_before", "fragments_after"}.
     """
@@ -897,8 +901,24 @@ def auto_compact(index_dir: str, cfg: IndexConfig | None = None,
             d = os.path.join(fwd_dir, rname)
             if not (rname.startswith("r=") and os.path.isdir(d)):
                 continue
-            frags = sorted(f for f in os.listdir(d)
-                           if f.endswith(".parquet"))
+            frags = mf.live_fragments(d)
+            # sweep a crashed rollup's leftovers: superseded-but-present
+            # fragments (invisible to readers), inert sidecars (no cmp
+            # parquet ever landed), and fully-applied sidecars (every
+            # listed source already gone)
+            live = set(frags)
+            names = sorted(os.listdir(d))
+            for f in names:
+                if f.endswith(".parquet") and f not in live:
+                    os.unlink(os.path.join(d, f))
+            for f in names:
+                if not f.endswith(".srcs.json"):
+                    continue
+                cmp_p = os.path.join(d, f[:-10] + ".parquet")
+                srcs = mf.read_json(os.path.join(d, f)) or []
+                if not os.path.exists(cmp_p) or not any(
+                        os.path.exists(os.path.join(d, s)) for s in srcs):
+                    os.unlink(os.path.join(d, f))
             total_before += len(frags)
             if len(frags) >= max_fragments:
                 affected.append((d, frags))
@@ -911,12 +931,18 @@ def auto_compact(index_dir: str, cfg: IndexConfig | None = None,
                               for f in frags])
         order = np.argsort(t["doc_id"].to_numpy(), kind="stable")
         merged = t.take(order)
-        tmp = os.path.join(d, f".cmp-{_uuid.uuid4().hex[:12]}.tmp")
+        name = f"cmp-{_uuid.uuid4().hex[:12]}"
+        # 1. sidecar first (atomic): inert until the cmp parquet exists
+        mf.atomic_write_json(os.path.join(d, f"{name}.srcs.json"), frags)
+        # 2. merged parquet via tmp + atomic publish — from this instant
+        #    readers exclude the superseded sources
+        tmp = os.path.join(d, f".{name}.tmp")
         pq.write_table(merged, tmp)
-        os.replace(tmp, os.path.join(
-            d, f"cmp-{_uuid.uuid4().hex[:12]}.parquet"))
+        os.replace(tmp, os.path.join(d, f"{name}.parquet"))
+        # 3. drop the (now-invisible) sources, sidecar last
         for f in frags:
             os.unlink(os.path.join(d, f))
+        os.unlink(os.path.join(d, f"{name}.srcs.json"))
         return merged.num_rows
 
     if affected:
@@ -995,11 +1021,10 @@ def merge_indexes(index_a: str, index_b: str, out_dir: str,
             os.makedirs(rdir_out, exist_ok=True)
             for si, src in enumerate(srcs):
                 rdir = os.path.join(src, "forward", f"r={dr}")
-                for fname in sorted(os.listdir(rdir)):
-                    if fname.endswith(".parquet"):
-                        _shutil.copy2(os.path.join(rdir, fname),
-                                      os.path.join(rdir_out,
-                                                   f"m{si}-{fname}"))
+                for fname in mf.live_fragments(rdir):
+                    _shutil.copy2(os.path.join(rdir, fname),
+                                  os.path.join(rdir_out,
+                                               f"m{si}-{fname}"))
             if len(srcs) == 1:
                 # exclusive range: adopt the immutable segment files as-is
                 seg_src = os.path.join(srcs[0], "segments")
@@ -1015,8 +1040,7 @@ def merge_indexes(index_a: str, index_b: str, out_dir: str,
             for src in srcs:
                 rdir = os.path.join(src, "forward", f"r={dr}")
                 frags += [pq.read_table(os.path.join(rdir, f))
-                          for f in sorted(os.listdir(rdir))
-                          if f.endswith(".parquet")]
+                          for f in mf.live_fragments(rdir)]
             tbl = pa.concat_tables(frags)
             ids = tbl["doc_id"].to_numpy()
             if np.unique(ids).size != ids.size:

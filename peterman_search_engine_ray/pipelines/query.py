@@ -1224,7 +1224,7 @@ class IndexReader:
         return [os.path.join(d, f)
                 for r in np.unique(ids >> bits)
                 if os.path.isdir(d := os.path.join(fwd, f"r={int(r)}"))
-                for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+                for f in mf.live_fragments(d)]
 
     def get_docs(self, doc_ids: np.ndarray,
                  columns: list[str] | None = None) -> pd.DataFrame:

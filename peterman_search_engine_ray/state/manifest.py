@@ -86,6 +86,45 @@ def input_fingerprint(paths: list[str]) -> dict:
     return out
 
 
+# -- forward-store fragment liveness (crash-safe compaction) -------------
+
+def live_fragments(rdir: str) -> list[str]:
+    """Fragment basenames of one forward range dir with SUPERSEDED
+    sources excluded: auto_compact publishes ``cmp-X.parquet`` together
+    with a ``cmp-X.srcs.json`` sidecar naming the fragments it replaced;
+    until the sources are unlinked, every reader that goes through this
+    helper sees each doc exactly once regardless of where a crash landed
+    (sidecar-without-cmp → sources live; cmp+sidecar+sources → sources
+    excluded).  ALL forward-store listings must use this."""
+    try:
+        names = sorted(os.listdir(rdir))
+    except FileNotFoundError:
+        return []
+    files = [f for f in names if f.endswith(".parquet")]
+    dead: set[str] = set()
+    for f in files:
+        if f.startswith("cmp-"):
+            srcs = read_json(os.path.join(rdir, f[:-8] + ".srcs.json"))
+            if srcs:
+                dead.update(srcs)
+    return [f for f in files if f not in dead]
+
+
+def live_forward_files(fwd_dir: str) -> list[str]:
+    """Every live fragment path under a forward store (all ``r=`` range
+    partitions), for whole-store reads (resume, doc stats): the
+    directory-wide ``read_parquet(fwd_dir)`` would double-read docs
+    whose range crashed mid-compaction."""
+    out: list[str] = []
+    if not os.path.isdir(fwd_dir):
+        return out
+    for rname in sorted(os.listdir(fwd_dir)):
+        d = os.path.join(fwd_dir, rname)
+        if rname.startswith("r=") and os.path.isdir(d):
+            out.extend(os.path.join(d, f) for f in live_fragments(d))
+    return out
+
+
 # -- index aliases (blue/green reindex switch) ---------------------------
 
 def set_alias(alias_path: str, index_dir: str) -> None:

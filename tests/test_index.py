@@ -879,6 +879,57 @@ def test_ingest_chain_auto_compact_bounds_fragments(ray_session,
     assert stats["ranges_compacted"] == 0
 
 
+def test_auto_compact_crash_windows_never_duplicate(ray_session,
+                                                    tmp_path_factory):
+    """ADVICE r4: a crash between the compacted file landing and the
+    source unlinks must not duplicate docs.  Simulate every window of
+    the sidecar protocol and assert readers (live_fragments /
+    get_docs / resume doc stats) see each doc exactly once, and that
+    the next auto_compact sweep reconverges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from peterman_search_engine_ray.corpus import _wrap_batch, synth_rows
+    from peterman_search_engine_ray.pipelines.build import (
+        _fwd_doc_stats, auto_compact, build_index)
+    from peterman_search_engine_ray.pipelines.query import IndexReader
+    from peterman_search_engine_ray.state import manifest as mf
+    import ray.data as rd
+    cfg = IndexConfig(num_term_partitions=4, doc_range_bits=6,
+                      block_size=8, positional=True)
+    idx = str(tmp_path_factory.mktemp("idx_crash"))
+    build_index(rd.from_arrow(_wrap_batch(synth_rows(30))), idx, cfg)
+    rdir = os.path.join(idx, "forward", "r=0")
+    srcs = mf.live_fragments(rdir)
+    assert srcs
+    n0, len0 = _fwd_doc_stats(os.path.join(idx, "forward"))
+
+    # window 1: sidecar landed, cmp parquet did not → sources stay live
+    mf.atomic_write_json(os.path.join(rdir, "cmp-dead.srcs.json"), srcs)
+    assert mf.live_fragments(rdir) == srcs
+    assert _fwd_doc_stats(os.path.join(idx, "forward")) == (n0, len0)
+
+    # window 2: cmp published, sources not yet unlinked → sources dead,
+    # every doc exactly once through every reader
+    t = pa.concat_tables([pq.read_table(os.path.join(rdir, f))
+                          for f in srcs])
+    order = np.argsort(t["doc_id"].to_numpy(), kind="stable")
+    mf.atomic_write_json(os.path.join(rdir, "cmp-w2.srcs.json"), srcs)
+    pq.write_table(t.take(order), os.path.join(rdir, "cmp-w2.parquet"))
+    os.unlink(os.path.join(rdir, "cmp-dead.srcs.json"))
+    live = mf.live_fragments(rdir)
+    assert live == ["cmp-w2.parquet"]
+    assert _fwd_doc_stats(os.path.join(idx, "forward")) == (n0, len0)
+    got = IndexReader(idx).get_docs(np.array([3, 7]))
+    assert got["doc_id"].tolist() == [3, 7]
+
+    # the sweep reconverges: superseded-but-present sources are dropped,
+    # the fully-applied sidecar goes, counts are sane
+    auto_compact(idx, cfg, max_fragments=99)
+    names = sorted(os.listdir(rdir))
+    assert names == ["cmp-w2.parquet"]
+    assert _fwd_doc_stats(os.path.join(idx, "forward")) == (n0, len0)
+
+
 def test_reader_io_counters_prove_pruning(ray_session, tmp_path_factory):
     """Query-side IO accounting (reference PageFileChannel counter tests):
     candidate-only phrase gathers PROVABLY skip position bytes, block-max
