@@ -15,6 +15,8 @@ Rank-identity with the single-reader path is tested.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import ray
@@ -167,6 +169,44 @@ class ShardedIndex:
         self._meta = IndexReader(index_dir)
         drs = sorted({dr for v in self._meta._by_tp.values() for dr in v})
         self.shards = [ShardSearcher.remote(index_dir, dr) for dr in drs]
+        self._init_gdf_cache([self._meta.index_dir])
+
+    # -- per-term global-df cache --------------------------------------
+    # every query previously paid a term_df round-trip to ALL shards;
+    # hot terms now hit a driver-side LRU, invalidated whenever any
+    # member manifest changes (extend/compact/merge rewrite it
+    # atomically, so size+mtime_ns is the fingerprint)
+    _GDF_CACHE_MAX = 65536
+
+    def _init_gdf_cache(self, dirs: list[str]) -> None:
+        self._gdf_dirs = list(dirs)
+        self._gdf_cache: dict[str, int] = {}
+        self._gdf_token = self._gdf_fp()
+
+    def _gdf_fp(self):
+        out = []
+        for d in self._gdf_dirs:
+            try:
+                st = os.stat(os.path.join(d, "manifest.json"))
+                out.append((d, st.st_size, st.st_mtime_ns))
+            except FileNotFoundError:
+                out.append((d, 0, 0))
+        return tuple(out)
+
+    def _global_df(self, uniq_terms: list[str]) -> dict[str, int]:
+        fp = self._gdf_fp()
+        if fp != self._gdf_token:
+            self._gdf_cache.clear()
+            self._gdf_token = fp
+        missing = [t for t in uniq_terms if t not in self._gdf_cache]
+        if missing:
+            partials = ray.get([s.term_df.remote(missing)
+                                for s in self.shards])
+            for t in missing:
+                if len(self._gdf_cache) >= self._GDF_CACHE_MAX:
+                    self._gdf_cache.pop(next(iter(self._gdf_cache)))
+                self._gdf_cache[t] = sum(int(p[t]) for p in partials)
+        return {t: self._gdf_cache[t] for t in uniq_terms}
 
     def bm25_topk(self, keywords, k: int = 10, pilot: bool = False
                   ) -> tuple[np.ndarray, np.ndarray]:
@@ -185,9 +225,9 @@ class ShardedIndex:
         if not toks:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         uniq_terms = sorted(set(toks))
-        # global df = sum of shard-local dfs (A4 partial + final combine)
-        partials = ray.get([s.term_df.remote(uniq_terms) for s in self.shards])
-        gdf = {t: sum(p[t] for p in partials) for t in uniq_terms}
+        # global df = sum of shard-local dfs (A4 partial + final
+        # combine), LRU-cached per term across queries
+        gdf = self._global_df(uniq_terms)
         tw = [(t, float(toks.count(t)), gdf[t]) for t in uniq_terms if gdf[t]]
         if not tw:
             return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -216,9 +256,7 @@ class ShardedIndex:
         if not toks:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         uniq_terms = sorted(set(toks))
-        partials = ray.get([s.term_df.remote(uniq_terms)
-                            for s in self.shards])
-        gdf = {t: sum(p[t] for p in partials) for t in uniq_terms}
+        gdf = self._global_df(uniq_terms)
         tw = [(t, float(toks.count(t)), gdf[t]) for t in uniq_terms
               if gdf[t]]
         if not tw:
@@ -251,9 +289,7 @@ class ShardedIndex:
         if not toks:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         uniq_terms = sorted(set(toks))
-        partials = ray.get([s.term_df.remote(uniq_terms)
-                            for s in self.shards])
-        gdf = {t: sum(p[t] for p in partials) for t in uniq_terms}
+        gdf = self._global_df(uniq_terms)
         outs = ray.get([s.tfidf_local_topk.remote(list(keywords), k,
                                                   m.n_docs, gdf)
                         for s in self.shards])
@@ -310,3 +346,4 @@ class FederatedIndex(ShardedIndex):
         self.shards = [ShardSearcher.remote(d, dr, global_n=n_docs,
                                             global_avgdl=avgdl)
                        for d, drs in members for dr in drs]
+        self._init_gdf_cache(index_dirs)

@@ -123,6 +123,20 @@ def test_sharded_serving_rank_identity(ray_session, tmp_path):
         expr = '("grape honeydew" OR apple) AND NOT unique0'
         assert sharded.search("bool", [expr]).tolist() == \
             single.search_boolean(expr).tolist()
+        # gdf LRU: repeat queries hit the cache (no term_df round-trip),
+        # and a manifest rewrite (extend/compact fingerprint) clears it
+        assert sharded._gdf_cache.get("grape") == single.doc_freq("grape")
+        import ray as _ray
+        calls_before = len(sharded._gdf_cache)
+        sharded.bm25_topk(["grape"], 5)       # cached — no new entries
+        assert len(sharded._gdf_cache) == calls_before
+        import os as _os
+        mp = _os.path.join(idx, "manifest.json")
+        _os.utime(mp, ns=(_os.stat(mp).st_atime_ns,
+                          _os.stat(mp).st_mtime_ns + 1))
+        sharded.bm25_topk(["grape"], 5)
+        assert list(sharded._gdf_cache) == ["grape"]   # cleared + refilled
+        assert sharded._gdf_cache["grape"] == single.doc_freq("grape")
     finally:
         sharded.shutdown()
 
