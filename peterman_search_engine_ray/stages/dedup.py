@@ -355,6 +355,53 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", k: int = 2,
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def ngram_containment_pairs(ds: "ray.data.Dataset", k: int = 2,
+                            tau_num: int = 8, tau_den: int = 10,
+                            max_group: int = 1000,
+                            num_parts: int = 32) -> pd.DataFrame:
+    """ASYMMETRIC containment detection (quote/boilerplate inclusion,
+    Broder'97's containment coefficient): pairs where
+    ``|A∩B| / |A| ≥ tau`` — doc ``inner``'s shingle set lies (mostly)
+    inside doc ``container``'s.  Jaccard misses these when the container is
+    much larger (a page quoting a tweet has tiny Jaccard but containment
+    1).  Same two keyed exchanges as :func:`ngram_jaccard_pairs` (the
+    pair set is shared work at scale); the predicate is pure-integer
+    (``inter·den ≥ num·|contained|``), evaluated in BOTH directions, so
+    the SQL oracle agrees bit-for-bit.  Returns (contained, container)
+    rows."""
+    sh = ds.map_batches(_shingle_explode(k), batch_format="pyarrow")
+    partials = (_hash_partition(sh, ["s"], num_parts)
+                .map_batches(make_pair_emitter(
+                    ["s"], max_group, label="ngram_containment",
+                    count_col="inter_part"),
+                    batch_format="pyarrow"))
+    pair_counts = (_hash_partition(partials, ["a", "b"], num_parts)
+                   .map_batches(_sum_pairs_block, batch_format="pyarrow")
+                   .to_pandas())
+    empty = pd.DataFrame({"contained": pd.Series([], dtype=np.int64),
+                          "container": pd.Series([], dtype=np.int64)})
+    if pair_counts.empty:
+        return empty
+    import ray as _ray
+    need_ids = np.unique(pair_counts[["a", "b"]].to_numpy())
+    sizes = (ds.map_batches(_doc_shingle_counts(k, _ray.put(need_ids)),
+                            batch_format="pyarrow")
+               .to_pandas().set_index("doc_id")["n"])
+    na = sizes.reindex(pair_counts["a"]).to_numpy()
+    nb = sizes.reindex(pair_counts["b"]).to_numpy()
+    inter = pair_counts["inter"].to_numpy()
+    a = pair_counts["a"].to_numpy()
+    b = pair_counts["b"].to_numpy()
+    ab = inter * tau_den >= tau_num * na        # a contained in b
+    ba = inter * tau_den >= tau_num * nb        # b contained in a
+    out = pd.DataFrame({
+        "contained": np.concatenate([a[ab], b[ba]]),
+        "container": np.concatenate([b[ab], a[ba]])}).astype(np.int64)
+    if out.empty:
+        return empty
+    return out.sort_values(["contained", "container"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------

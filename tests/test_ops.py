@@ -87,6 +87,82 @@ def test_ngram_jaccard(ray_session):
         assert 2 * len(sa & sb) >= len(sa | sb)
 
 
+def test_ngram_containment(ray_session):
+    """Asymmetric containment finds the quote-inside-a-bigger-page pairs
+    symmetric Jaccard misses, with brute-force verification of both the
+    reported set and its complement."""
+    import ray.data as rd
+    import pyarrow as pa
+    from peterman_search_engine_ray.stages.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",          # 0
+        ("padding one the quick brown fox jumps over the lazy dog "
+         "plus lots of extra words making this page much longer "
+         "so jaccard collapses but containment stays one"),     # 1 ⊇ 0
+        "completely different content about databases",          # 2
+        "the quick brown fox",                                   # 3 ⊆ 0, 1
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(2)
+    out = ngram_containment_pairs(ds, k=2, tau_num=8, tau_den=10)
+    got = set(zip(out["contained"], out["container"]))
+    assert (0, 1) in got and (3, 0) in got and (3, 1) in got
+    assert all(p[0] != 2 and p[1] != 2 for p in got)
+    # Jaccard at the same threshold misses the asymmetric inclusions
+    jac = ngram_jaccard_pairs(ds, k=2, tau_num=8, tau_den=10)
+    assert (0, 1) not in set(zip(jac["a"], jac["b"]))
+    # brute force: reported pairs satisfy the predicate, others don't
+    sets = [shingle_set(t, 2) for t in texts]
+    for a in range(4):
+        for b in range(4):
+            if a == b:
+                continue
+            want = 10 * len(sets[a] & sets[b]) >= 8 * len(sets[a])
+            assert ((a, b) in got) == want, (a, b)
+
+
+def test_champion_lists(ray_session, tmp_path):
+    """Champion-list tier: per-term top-m by (tf desc, doc) is exact vs
+    brute force, probes read only the query terms' buckets, and scoring
+    is the deterministic champion approximation."""
+    import ray.data as rd
+    import pyarrow as pa
+    from peterman_search_engine_ray.stages.champion import (
+        build_champions, champion_rows, champion_topk)
+    rng = np.random.RandomState(5)
+    rows = []
+    for d in range(40):
+        for t in ("alpha", "beta", "gamma"):
+            tf = int(rng.randint(1, 30))
+            rows.append((t, d, tf))
+    tbl = pa.table({"term": pa.array([r[0] for r in rows]),
+                    "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "tf": pa.array([r[2] for r in rows], pa.int64())})
+    out = str(tmp_path / "champ")
+    build_champions(rd.from_arrow(tbl).repartition(4), out,
+                    {"x": 1}, m=8)
+    build_champions(rd.from_arrow(tbl).repartition(4), out,
+                    {"x": 1}, m=8)     # manifest hit, idempotent
+    df = pd.DataFrame(rows, columns=["term", "doc_id", "tf"])
+    stats = {}
+    got = champion_rows(out, ["alpha", "beta"], stats=stats)
+    want = (df[df["term"].isin(["alpha", "beta"])]
+            .sort_values(["term", "tf", "doc_id"],
+                         ascending=[True, False, True])
+            .groupby("term").head(8))
+    assert (set(zip(got["term"], got["doc_id"]))
+            == set(zip(want["term"], want["doc_id"])))
+    assert stats["rows_read"] == 16      # m per probed term, nothing else
+    top = champion_topk(out, ["alpha", "beta"], k=5)
+    agg = (want.groupby("doc_id", as_index=False)["tf"].sum()
+           .rename(columns={"tf": "score"})
+           .sort_values(["score", "doc_id"], ascending=[False, True])
+           .head(5).reset_index(drop=True).astype(np.int64))
+    pd.testing.assert_frame_equal(top, agg)
+
+
 def test_minhash_lsh(ray_session):
     import ray.data as rd
     from peterman_search_engine_ray.stages.dedup import minhash_lsh_pairs
