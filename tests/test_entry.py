@@ -46,7 +46,8 @@ def test_every_query_has_callable(entrymod):
                                   # ANN over the clustered derived table:
                                   # oracle = exact full-scan cosine top-10,
                                   # so parity here IS the recall-1 assertion
-                                  "ann_lsh_top10", "ann_ivf_top10"])
+                                  "ann_lsh_top10", "ann_ivf_top10",
+                                  "dsir_weights", "cocitation_top"])
 def test_oracle_subset(entrymod, name):
     import pandas as pd
     con = duckdb.connect()
