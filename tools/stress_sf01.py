@@ -36,7 +36,8 @@ DEFAULT = ["windowed_counts", "sessionize", "props_stats",
            "percolate", "collapsed_search", "term_vectors", "funnel",
            "sliding_counts", "coview_pairs", "retention", "trending_terms",
            "hits_top20", "filter_chain", "langid_trained", "knn_graph",
-           "batch_ann"]
+           "batch_ann", "cocitation_top", "bibcoupling_top",
+           "dsir_weights", "mixture_weights", "novelty_scores"]
 
 
 def main():
